@@ -1,0 +1,86 @@
+"""Deterministic, local, network-free embedding kernel.
+
+The reference embeds chunks via external providers (VoyageAI/Cohere —
+``/root/reference/src/code_indexer/services/voyage_ai.py:786-947``).
+External services are out of scope here, so the substitution is a
+deterministic feature-hash embedding followed by a seeded Gaussian
+random projection — the *same mathematical device* the reference itself
+uses for its vector-space partitioning (Johnson–Lindenstrauss projection
+with ``seed = hash of dims``, scaled ``1/sqrt(out_dim)``:
+``/root/reference/src/code_indexer/storage/projection_matrix_manager.py:26-57``).
+
+Determinism rules (SURVEY.md §7.3 item 2):
+- all row-local math in float32 with a fixed op order;
+- token hashing via md5 (stable across processes, unlike Python hash());
+- the projection matrix is derived from ``np.random.default_rng(seed)``
+  with a fixed seed, generated identically on driver and executors.
+
+DO NOT replace with a real model without updating the oracle — the
+P/R = 1.0 guarantee relies on oracle and pipeline sharing this code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+EMBED_DIM = 64
+_HASH_DIM = 1024
+_SEED = 42
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+_matrix_cache: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def projection_matrix(
+    in_dim: int = _HASH_DIM, out_dim: int = EMBED_DIM, seed: int = _SEED
+) -> np.ndarray:
+    """Seeded Gaussian JL projection, scaled 1/sqrt(out_dim) —
+    same construction as projection_matrix_manager.py:26-57."""
+    key = (in_dim, out_dim, seed)
+    if key not in _matrix_cache:
+        rng = np.random.default_rng(seed)
+        m = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+        _matrix_cache[key] = m.astype(np.float32)
+    return _matrix_cache[key]
+
+
+def _token_bucket(token: str) -> tuple[int, float]:
+    """(bucket, sign) from md5 — stable feature hashing."""
+    d = hashlib.md5(token.encode("utf-8")).digest()
+    bucket = int.from_bytes(d[:4], "big") % _HASH_DIM
+    sign = 1.0 if d[4] & 1 else -1.0
+    return bucket, sign
+
+
+def tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
+def embed_text(text: str) -> np.ndarray:
+    """text -> unit-norm float32 vector of EMBED_DIM.
+
+    Row-local, fixed op order: bag-of-hashed-tokens -> JL projection ->
+    L2 normalize. Identical output wherever it runs.
+    """
+    # Accumulate projection rows in token order (no BLAS gemv — keeps the
+    # float reduction order fixed across driver/executor processes).
+    mat = projection_matrix()
+    vec = np.zeros(EMBED_DIM, dtype=np.float32)
+    for tok in tokenize(text):
+        b, s = _token_bucket(tok)
+        if s > 0:
+            vec += mat[b]
+        else:
+            vec -= mat[b]
+    norm = np.float32(np.sqrt(np.float32(np.dot(vec, vec))))
+    if norm > 0:
+        vec = vec / norm
+    return vec.astype(np.float32)
+
+
+def cosine(a: np.ndarray, b: np.ndarray) -> float:
+    """Cosine for unit vectors = dot product; float32 accumulate."""
+    return float(np.float32(np.dot(a.astype(np.float32), b.astype(np.float32))))

@@ -1,0 +1,169 @@
+"""Deterministic HTML -> text extraction kernel.
+
+Semantics mirror the reference's deterministic extraction components:
+
+- encoding cascade ``utf-8 -> utf-8-sig -> latin-1 -> cp1252`` exactly as
+  ``/root/reference/src/code_indexer/indexing/fixed_size_chunker.py:264-277``
+  (note: latin-1 never fails, so cp1252 is unreachable — we preserve that
+  quirk for parity; cp1252 bytes therefore decode via latin-1).
+- ``<img src>`` extraction via stdlib ``html.parser.HTMLParser``, first
+  ``src`` attribute only, http(s)/data-URI filtered out, like
+  ``/root/reference/src/code_indexer/indexing/image_extractor.py:420-440``
+  (``_ImgTagParser``) and ``:293-344`` (``extract_images`` filters).
+- text extraction itself is ours (the reference indexes code files, not
+  HTML pages): stdlib HTMLParser, script/style dropped, block-level tags
+  emit newlines, entities unescaped (convert_charrefs), lines stripped,
+  empty lines dropped. Fully deterministic, stdlib-only, no network.
+
+These functions are the BYTE-IDENTICAL contract: the fixture generator
+writes ``pages.text = extract_text(html)`` and the Spark Arrow UDF must
+reproduce it exactly (asserted by tests/test_extraction_golden.py).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# Tags whose content is dropped entirely.
+_SKIP_CONTENT_TAGS = frozenset({"script", "style", "noscript", "template"})
+
+# Tags that imply a line break in the extracted text.
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "h1", "h2", "h3", "h4", "h5", "h6",
+        "li", "ul", "ol", "tr", "table", "br", "title", "header",
+        "footer", "section", "article", "blockquote", "pre", "hr",
+    }
+)
+
+# Encoding cascade — order pinned to fixed_size_chunker.py:265.
+ENCODING_CASCADE = ("utf-8", "utf-8-sig", "latin-1", "cp1252")
+
+IMG_SUPPORTED_FORMATS = frozenset({".png", ".jpg", ".jpeg", ".webp", ".gif"})
+
+
+def decode_bytes(raw: bytes) -> str:
+    """Decode bytes via the reference's encoding cascade."""
+    for enc in ENCODING_CASCADE:
+        try:
+            return raw.decode(enc)
+        except UnicodeDecodeError:
+            continue
+    # Unreachable in practice (latin-1 accepts any byte string); kept for
+    # structural parity with the reference's "could not decode" error path.
+    raise ValueError("could not decode bytes")
+
+
+class _TextAndImgParser(HTMLParser):
+    """Single-pass extractor for visible text and <img src> attributes."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self.img_sources: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_CONTENT_TAGS:
+            self._skip_depth += 1
+            return
+        if tag == "img":
+            # First src attribute only, mirroring _ImgTagParser
+            # (image_extractor.py:434-440).
+            for name, value in attrs:
+                if name == "src" and value:
+                    self.img_sources.append(value.strip())
+                    break
+        if tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_CONTENT_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_startendtag(self, tag, attrs):
+        # <br/>, <img .../> etc.
+        self.handle_starttag(tag, attrs)
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and data:
+            self.parts.append(data)
+
+
+def _parse(html: str) -> _TextAndImgParser:
+    parser = _TextAndImgParser()
+    parser.feed(html)
+    parser.close()
+    return parser
+
+
+def normalize_text(raw: str) -> str:
+    """Strip each line, drop empty lines, join with single newlines."""
+    lines = [ln.strip() for ln in raw.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """bytes -> byte-exact extracted text (the golden contract)."""
+    return extract_page(html_bytes)[0]
+
+
+def extract_page(html_bytes: bytes) -> tuple[str, list[str]]:
+    """bytes -> (extracted_text, image_srcs_after_filtering).
+
+    Image filtering per image_extractor.py:330-337: drop http(s) URLs and
+    data: URIs; keep local paths (normalized, leading '/' stripped; paths
+    escaping the site root via '..' are rejected -> image_extractor.py:36-67).
+    """
+    parser = _parse(decode_bytes(html_bytes))
+    text = normalize_text("".join(parser.parts))
+    images: list[str] = []
+    for src in parser.img_sources:
+        if src.startswith(("http://", "https://")):
+            continue
+        if src.startswith("data:"):
+            continue
+        resolved = _resolve_local_path(src)
+        if resolved:
+            images.append(resolved)
+    return text, images
+
+
+def _resolve_local_path(src: str) -> str:
+    """Resolve a local image path relative to the site root.
+
+    Mirrors ImageExtractor._resolve_image_path (image_extractor.py:36-67):
+    leading '/' is stripped (absolute = site-root-relative), '.'/'..'
+    segments are resolved lexically, and any path escaping the root
+    returns '' (rejected).
+    """
+    parts = src.lstrip("/").split("/")
+    out: list[str] = []
+    for part in parts:
+        if part in ("", "."):
+            continue
+        if part == "..":
+            if not out:
+                return ""  # escapes the root
+            out.pop()
+        else:
+            out.append(part)
+    return "/".join(out)
+
+
+def validate_image(path: str) -> tuple[bool, str | None]:
+    """Format check only (no filesystem at web scale).
+
+    Reference checks exists/format/size/boundary
+    (image_extractor.py:69-122); in a web corpus only the format check is
+    computable from the path — existence/size live in a separate asset
+    table at scale (joined on demand).
+    """
+    dot = path.rfind(".")
+    ext = path[dot:].lower() if dot >= 0 else ""
+    if ext not in IMG_SUPPORTED_FORMATS:
+        return False, "unsupported_format"
+    return True, None
