@@ -84,3 +84,27 @@ def embed_text(text: str) -> np.ndarray:
 def cosine(a: np.ndarray, b: np.ndarray) -> float:
     """Cosine for unit vectors = dot product; float32 accumulate."""
     return float(np.float32(np.dot(a.astype(np.float32), b.astype(np.float32))))
+
+
+# --- vector-space bucketing (the reference's partition scheme) ------------
+# The reference 2-bit-quantizes the projected vector into a hex directory
+# prefix that IS its storage partitioning (vector_quantizer.py:37-127,
+# fixed range [-2, 2]; rationale docs/architecture.md:336-341). We reuse
+# the idea as a Spark partition/bucket column: the first _BUCKET_DIMS
+# embedding dims -> 2 bits each -> hex string.
+
+_BUCKET_DIMS = 8  # 16 bits -> 4 hex chars -> 65,536 buckets max
+_QUANT_LO, _QUANT_HI = -2.0, 2.0
+
+
+def bucket_of(vec: np.ndarray) -> str:
+    """2-bit quantization prefix of a vector -> 4-hex-char bucket key."""
+    out = 0
+    for i in range(_BUCKET_DIMS):
+        x = float(vec[i])
+        # fixed-range 2-bit quantize, mirroring vector_quantizer.py:58-70
+        q = int((min(max(x, _QUANT_LO), _QUANT_HI) - _QUANT_LO)
+                / (_QUANT_HI - _QUANT_LO) * 4)
+        q = min(q, 3)
+        out = (out << 2) | q
+    return format(out, "04x")

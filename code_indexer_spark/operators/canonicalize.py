@@ -1,0 +1,221 @@
+"""Entity canonicalization: MinHash-LSH blocking + Jaccard verification +
+large-star/small-star connected components — all DataFrame ops.
+
+Semantics are pinned by kernel/canon.py (the plain-Python oracle): same
+shingles, same seeded-md5 minhash bands, same threshold, same
+min-id-as-canonical rule — so the Spark result equals the oracle's
+union-find exactly (tests/test_canonicalize.py).
+
+Scale notes (the whole point of this module):
+- blocking key is (entity_type, first_token, band_id, band_key) — bucket
+  sizes stay O(near-duplicates), never O(entities); the self-join is a
+  shuffle on that compound key and AQE splits any residual skew;
+- the pairwise Jaccard verify runs only on blocked candidates (the
+  reference's over-fetch-then-filter shape, SURVEY.md T3);
+- connected components use the large-star/small-star algorithm
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+  which converges in O(log n) rounds and never materializes a
+  component's full membership on one node; each round persists its
+  edge set and unpersists the previous one; lineage is cut with
+  localCheckpoint to keep plans bounded.
+
+Reference analog: content-id dedup / reconcile
+(docs/algorithms.md:100-143) — G8 in SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, BooleanType, IntegerType, StringType, StructField, StructType,
+)
+
+_BAND_STRUCT = StructType(
+    [StructField("band_id", IntegerType()), StructField("band_key", StringType())]
+)
+
+
+def band_stage(entities: DataFrame) -> DataFrame:
+    """entities(entity_id, canonical_name, entity_type) -> exploded
+    (entity_id, canonical_name, entity_type, tok0, band_id, band_key)."""
+
+    @F.pandas_udf(ArrayType(_BAND_STRUCT))
+    def bands_udf(names: pd.Series) -> pd.Series:
+        from ..kernel.canon import name_bands
+
+        return pd.Series([name_bands(n or "") for n in names])
+
+    @F.pandas_udf(StringType())
+    def tok0_udf(names: pd.Series) -> pd.Series:
+        from ..kernel.canon import first_token
+
+        return pd.Series([first_token(n or "") for n in names])
+
+    return (
+        entities.select(
+            "entity_id", "canonical_name", "entity_type",
+            tok0_udf("canonical_name").alias("tok0"),
+            F.explode(bands_udf("canonical_name")).alias("b"),
+        )
+        .select("entity_id", "canonical_name", "entity_type", "tok0", "b.*")
+    )
+
+
+def candidate_pairs(entities: DataFrame) -> DataFrame:
+    """Self-join on the blocking key -> distinct (id_a, name_a, id_b,
+    name_b) with id_a < id_b."""
+    banded = band_stage(entities)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.entity_type") == F.col("b.entity_type"),
+                F.col("a.tok0") == F.col("b.tok0"),
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.entity_id") < F.col("b.entity_id"),
+            ],
+        )
+        .select(
+            F.col("a.entity_id").alias("id_a"),
+            F.col("a.canonical_name").alias("name_a"),
+            F.col("b.entity_id").alias("id_b"),
+            F.col("b.canonical_name").alias("name_b"),
+        )
+        .distinct()
+    )
+
+
+def verified_edges(entities: DataFrame) -> DataFrame:
+    """Candidate pairs filtered by exact shingle Jaccard >= threshold."""
+
+    @F.pandas_udf(BooleanType())
+    def jac_ok(na: pd.Series, nb: pd.Series) -> pd.Series:
+        from ..kernel.canon import JACCARD_THRESHOLD, name_shingles
+        from ..kernel.hashes import jaccard
+
+        return pd.Series(
+            [
+                jaccard(name_shingles(x or ""), name_shingles(y or ""))
+                >= JACCARD_THRESHOLD
+                for x, y in zip(na, nb)
+            ]
+        )
+
+    return (
+        candidate_pairs(entities)
+        .filter(jac_ok("name_a", "name_b"))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # xor-fold: order-insensitive, overflow-free (ANSI-safe)
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def large_star_small_star(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(src, dst) -> mapping(entity_id, canonical_id) for all nodes
+    appearing in edges (canonical = component minimum).
+
+    Alternates large-star and small-star rounds until the edge multiset
+    is stable (checksum), then reads the star edges as the mapping.
+    """
+    cur = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    prev_sum = None
+    for it in range(max_iter):
+        # ---- large-star: connect every neighbor > u to min(N(u) ∪ {u})
+        bidir = cur.union(cur.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+        mins = bidir.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            bidir.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # ---- small-star: orient edges high->low, connect all low
+        # neighbors (and u itself) to the minimum
+        hi_lo = large.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        mins2 = hi_lo.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            hi_lo.join(mins2, "src")
+            .select(
+                F.col("dst").alias("node"), F.col("m"),
+                F.col("src").alias("u"),
+            )
+        )
+        new_edges = (
+            small.select(F.col("node").alias("src"), F.col("m").alias("dst"))
+            .union(small.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = _checksum(new_edges)
+        cur = new_edges
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    # converged star graph: src -> component min (dst)
+    return cur.select(
+        F.col("src").alias("entity_id"), F.col("dst").alias("canonical_id")
+    )
+
+
+def canonical_mapping(entities: DataFrame) -> DataFrame:
+    """entities -> (entity_id, canonical_id) for ALL entities
+    (identity rows included for singletons)."""
+    mapping = large_star_small_star(verified_edges(entities))
+    return (
+        entities.select("entity_id")
+        .join(mapping, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.coalesce("canonical_id", "entity_id").alias("canonical_id"),
+        )
+    )
+
+
+def apply_canonical(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj to canonical ids (two broadcast joins — the
+    mapping is O(#entities), tiny next to triples)."""
+    m = F.broadcast(mapping)
+    return (
+        triples.join(
+            m.withColumnRenamed("entity_id", "subj")
+             .withColumnRenamed("canonical_id", "subj_canon"),
+            "subj", "left",
+        )
+        .join(
+            m.withColumnRenamed("entity_id", "obj")
+             .withColumnRenamed("canonical_id", "obj_canon"),
+            "obj", "left",
+        )
+        .select(
+            F.coalesce("subj_canon", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_canon", "obj").alias("obj"),
+            "src_url", "rule_id", "confidence",
+        )
+        .withColumn(
+            "triple_id",
+            F.sha2(F.concat_ws("|", "subj", "pred", "obj", "src_url"), 256),
+        )
+    )

@@ -1,0 +1,148 @@
+"""The KG-construction pipeline: pages -> extract -> (chunks, triples)
+-> canonicalize -> nodes/edges.
+
+One declarative DataFrame job per stage; Catalyst fuses the extract +
+triple UDF stages into a single pass over pages (both are narrow
+mapInPandas transforms). The reference's thread-pool lifecycle
+(smart_indexer.py:277-640 -> high_throughput_processor.py:262-802) is
+replaced by Spark stage parallelism — SURVEY.md §3.1 mapping.
+
+Partitioning at scale (SURVEY.md §7.1 step 7):
+- pages: days(warc_ts) + bucket(url) (Iceberg spec; here the parquet
+  layout is the fixture's natural row order and we repartition on read);
+- chunks: vbucket (2-bit vector quantization prefix — the reference's
+  own vector-space partitioning, vector_quantizer.py:129-155);
+- edges: salted head-entity key — `salt = pmod(xxhash64(src_url), 16)`
+  appended to the subject key so one mega-entity ("hub" aliases) cannot
+  pin a whole shuffle partition; AQE skew-join handles the residual.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.canonicalize import apply_canonical, canonical_mapping
+from ..operators.extract import chunk_stage, embed_stage, extract_stage
+from ..operators.triples import broadcast_alias_rows, mentions_stage, triples_stage
+
+EDGE_SALT_BUCKETS = 16
+
+
+def read_pages(spark: SparkSession, kg_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{kg_dir}/pages.parquet")
+
+
+def read_alias(spark: SparkSession, kg_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{kg_dir}/alias_dict.parquet")
+
+
+def read_entities(spark: SparkSession, kg_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{kg_dir}/entities.parquet")
+
+
+def build_chunks(spark: SparkSession, kg_dir: str) -> DataFrame:
+    """pages -> embedded chunks table (the reference's vector points)."""
+    pages = read_pages(spark, kg_dir)
+    return embed_stage(chunk_stage(extract_stage(pages)))
+
+
+def build_raw_triples(spark: SparkSession, kg_dir: str,
+                      pages: DataFrame | None = None) -> DataFrame:
+    pages = pages if pages is not None else read_pages(spark, kg_dir)
+    alias_bc = broadcast_alias_rows(spark, read_alias(spark, kg_dir))
+    return triples_stage(extract_stage(pages), alias_bc)
+
+
+def build_mentions(spark: SparkSession, kg_dir: str) -> DataFrame:
+    alias_bc = broadcast_alias_rows(spark, read_alias(spark, kg_dir))
+    pages = read_pages(spark, kg_dir)
+    return mentions_stage(chunk_stage(extract_stage(pages)), alias_bc)
+
+
+def build_canonical_triples(spark: SparkSession, kg_dir: str,
+                            pages: DataFrame | None = None) -> DataFrame:
+    raw = build_raw_triples(spark, kg_dir, pages=pages)
+    mapping = canonical_mapping(read_entities(spark, kg_dir))
+    return apply_canonical(raw, mapping)
+
+
+def build_nodes(triples: DataFrame, entities: DataFrame,
+                mapping: DataFrame) -> DataFrame:
+    """nodes(entity_id, canonical_name, entity_type, n_mentions):
+    one row per canonical entity; n_mentions = triple endpoints touching
+    it. Canonical metadata comes from the canonical id's own record."""
+    mention_counts = (
+        triples.select(F.col("subj").alias("entity_id"))
+        .union(triples.select(F.col("obj").alias("entity_id")))
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    canon_ids = mapping.select(
+        F.col("canonical_id").alias("entity_id")
+    ).distinct()
+    return (
+        canon_ids.join(entities, "entity_id", "left")
+        .join(mention_counts, "entity_id", "left")
+        .select(
+            "entity_id", "canonical_name", "entity_type",
+            F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+        )
+    )
+
+
+def build_edges(triples: DataFrame) -> DataFrame:
+    """edges(subj, pred, obj, n_sources, confidence, salted_key):
+    aggregated multigraph with a salted subject key for head-entity skew
+    (north rule). The salt spreads one hot subject over
+    EDGE_SALT_BUCKETS shuffle partitions; readers strip it with
+    split(salted_key, '#')[0]."""
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(
+            F.countDistinct("src_url").alias("n_sources"),
+            F.max("confidence").alias("confidence"),
+        )
+        .withColumn(
+            "salted_key",
+            F.concat_ws(
+                "#", "subj",
+                (F.pmod(F.xxhash64("pred", "obj"), F.lit(EDGE_SALT_BUCKETS))
+                 ).cast("string"),
+            ),
+        )
+    )
+
+
+def run_pipeline(spark: SparkSession, kg_dir: str, out_dir: str) -> dict:
+    """Full batch run: materialize chunks, triples, nodes, edges.
+
+    Returns row counts per table (also observed via Spark metrics)."""
+    entities = read_entities(spark, kg_dir)
+    mapping = canonical_mapping(entities)
+    mapping.persist()
+
+    raw = build_raw_triples(spark, kg_dir)
+    triples = apply_canonical(raw, mapping)
+    triples.persist()
+
+    triples.write.mode("overwrite").parquet(f"{out_dir}/triples.parquet")
+    nodes = build_nodes(triples, entities, mapping)
+    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes.parquet")
+    edges = build_edges(triples)
+    edges.repartition(F.col("salted_key")).write.mode("overwrite").parquet(
+        f"{out_dir}/edges.parquet"
+    )
+    chunks = build_chunks(spark, kg_dir)
+    chunks.write.mode("overwrite").partitionBy("vbucket").parquet(
+        f"{out_dir}/chunks.parquet"
+    )
+    counts = {
+        "triples": spark.read.parquet(f"{out_dir}/triples.parquet").count(),
+        "nodes": spark.read.parquet(f"{out_dir}/nodes.parquet").count(),
+        "edges": spark.read.parquet(f"{out_dir}/edges.parquet").count(),
+        "chunks": spark.read.parquet(f"{out_dir}/chunks.parquet").count(),
+    }
+    triples.unpersist()
+    mapping.unpersist()
+    return counts

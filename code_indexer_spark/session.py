@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` on one JVM; the config below is chosen so
+the *same plan* holds on a 1000-executor cluster:
+
+- AQE on (runtime coalesce + skew-join splitting — SURVEY.md §4 "skew");
+- shuffle partitions sized for the local box, overridable by env;
+- Arrow enabled for every pandas UDF boundary, with a bounded batch size
+  so UDF stages stream instead of materializing whole partitions
+  (the reference's token-aware batching analog, voyage_ai.py:835-901);
+- broadcast threshold left at default 10 MB — the alias dictionary and
+  rules table are far below it and broadcast automatically; we still
+  broadcast() explicitly at join sites for plan stability.
+
+At real scale the catalog would be Iceberg
+(``spark.sql.catalog.*=org.apache.iceberg.spark.SparkCatalog``); the
+runtime jar is not in this sandbox, so tables land as partitioned
+parquet via sources/tables.py behind the same API.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "code-indexer-spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    shuffle_partitions = shuffle_partitions or os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
