@@ -1,0 +1,191 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all engine-verifiable (portable md5-derived hashes — the
+DuckDB oracle computes the exact same values):
+
+- exact:      group by md5(text) (the reference's content-id dedup,
+              docs/algorithms.md:100-113)
+- n-gram Jaccard: word-shingle explode -> shingle-join -> |∩|/|∪|
+- MinHash+LSH: seeded-md5 minhash signatures -> banded bucket join
+              (K5 in SURVEY.md §2.5; all JVM-side: F.md5, no Python)
+- SimHash:    md5-hex-parity bit votes -> per-bit majority
+- embedding:  cosine-threshold near-dup pairs over array<float>
+
+Scale notes: every operator here is a shuffle on a *content-derived*
+key (hash / shingle / band), so it parallelizes by data, never by
+driver loops. The shingle join's hot keys (stop-shingles) are the skew
+risk at 100 TB — LSH banding is the mitigation (bounded bucket width),
+which is why both variants exist.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+NUM_HASHES = 16
+BANDS = 8  # rows_per_band = 2
+
+
+def exact_dupes(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(content_hash, n_docs, keep_id): groups with n_docs >= 2, keeping
+    the smallest id as the survivor."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"),
+                    F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def tokens_expr(text_col: str):
+    """Whitespace tokens of lower(trim(text)), empties removed —
+    semantics shared with the SQL oracle's string_split_regex."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+
+
+def word_shingles_df(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) — distinct k-word shingles per document."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       tokens_expr(text_col).alias("toks"))
+    n = F.size("toks")
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", "toks")))
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle self-join.
+
+    (id_a, id_b, jac) with id_a < id_b and jac >= threshold. The
+    shingle-join computes |∩| in one shuffle; sizes come from a tiny
+    per-doc agg that broadcast-joins back.
+    """
+    sh = word_shingles_df(docs, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a")
+                               .withColumnRenamed("n_sh", "sh_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b")
+                          .withColumnRenamed("n_sh", "sh_b")), "id_b")
+        .withColumn(
+            "jac",
+            F.round(F.col("n_inter")
+                    / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def minhash_long(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3,
+                 num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Long-form minhash signature: (id, seed, minhash) where
+    minhash = min over shingles of md5('<seed>|<shingle>') — identical
+    to kernel.hashes.minhash_signature and to the SQL oracle."""
+    sh = word_shingles_df(docs, id_col, text_col, k)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("id", "shingle", seeds)
+        .groupBy("id", "seed")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"),
+                                     F.col("shingle")))).alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        num_hashes: int = NUM_HASHES,
+                        bands: int = BANDS) -> DataFrame:
+    """MinHash-LSH banded candidate pairs (id_a, id_b, n_bands_shared)."""
+    rows = num_hashes // bands
+    mh = minhash_long(docs, id_col, text_col, k, num_hashes)
+    band_keys = (
+        mh.withColumn("band", (F.col("seed") / rows).cast("int"))
+        .groupBy("id", "band")
+        # order inside the band is fixed by seed -> deterministic key
+        .agg(F.md5(F.concat_ws(
+            "|", F.array_join(F.array_sort(
+                F.collect_list(F.struct("seed", "minhash"))
+            ).getField("minhash"), "|"))).alias("band_key"))
+    )
+    return (
+        band_keys.alias("a")
+        .join(band_keys.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.band_key") == F.col("b.band_key"))
+              & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def simhash_bits_long(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Long-form simhash: (id, bit_pos, bit) with
+    bit = 1 iff sum over tokens of (2*(ascii(md5_hex[bit_pos]) % 2) - 1) > 0
+    — portable parity-of-hex-char scheme (kernel.hashes.simhash_bits)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    pos = F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("bit_pos")
+    return (
+        toks.select("id", "h", pos)
+        .withColumn(
+            "vote",
+            F.when(F.ascii(F.substring(F.col("h"), F.col("bit_pos"), 1)) % 2
+                   == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("id", "bit_pos")
+        .agg(F.sum("vote").alias("s"))
+        .select("id", "bit_pos",
+                F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"))
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.5) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a, id_b, sim) — brute-force
+    O(n²) baseline; the LSH/bucketed scale path is operators/similarity."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

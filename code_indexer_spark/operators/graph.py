@@ -1,0 +1,120 @@
+"""Graph query operators over nodes/edges tables (SURVEY.md §2.9).
+
+The reference's SCIP SQLite graph queries (scip/query/primitives.py)
+become joins / depth-bounded iterative self-joins:
+
+- neighbors / find_references (G1/G2): filter + join + limit
+- transitive deps (G3):  depth-bounded loop of frontier joins
+- impact BFS (G4):       frontier.join(edges).subtract(visited), min dist
+- path enumeration (G5): path-array extension join with
+                         ~array_contains cycle check, shortest first
+
+Every loop is a DRIVER-side loop over a SMALL fixed depth (<= 10 per
+the reference's analyze_impact contract, primitives.py:311-325) — the
+data never collects to the driver; each iteration is one distributed
+join, and intermediate frontiers are localCheckpointed to keep lineage
+bounded.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def neighbors(edges: DataFrame, nodes: DataFrame | None = None,
+              direction: str = "out") -> DataFrame:
+    """1-hop adjacency, optionally joined to node metadata (G1/G2)."""
+    e = edges
+    if direction == "in":
+        e = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return e if nodes is None else e.join(
+        nodes.withColumnRenamed("id", "dst"), "dst"
+    )
+
+
+def transitive_closure(edges: DataFrame, max_depth: int) -> DataFrame:
+    """(src, dst, depth) — all pairs reachable in <= max_depth hops;
+    depth = minimum hop count (G3 get_dependencies semantics)."""
+    base = edges.select("src", "dst").distinct() \
+        .withColumn("depth", F.lit(1))
+    result = base
+    frontier = base
+    for d in range(2, max_depth + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"),
+                    F.col("e.dst").alias("dst"))
+            .distinct()
+            .join(result.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        result = result.unionByName(nxt)
+        frontier = nxt
+    return result
+
+
+def impact_bfs(edges: DataFrame, seeds: DataFrame,
+               max_depth: int = 3) -> DataFrame:
+    """(node, dist) — BFS over *dependents* (reverse edges) from seed
+    nodes, dist = min distance 1..max_depth (G4 analyze_impact,
+    composites.py:259-334). seeds: one column ``node``."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    visited = seeds.select(F.col("node")).distinct() \
+        .withColumn("dist", F.lit(0))
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(rev.alias("e"), F.col("f.node") == F.col("e.src"))
+            .select(F.col("e.dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), ["node"], "left_anti")
+            .withColumn("dist", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.filter(F.col("dist") > 0)
+
+
+def call_chains(edges: DataFrame, from_node: str, to_node: str,
+                max_depth: int = 5) -> DataFrame:
+    """(path array<string>, depth) — all simple paths from->to up to
+    max_depth, shortest first (G5 trace_call_chain: cycle detection via
+    ~array_contains, dedupe, orderBy(size(path))."""
+    paths = (
+        edges.filter(F.col("src") == from_node)
+        .select(F.array(F.col("src"), F.col("dst")).alias("path"),
+                F.col("dst").alias("head"))
+        .distinct()
+    )
+    done = paths.filter(F.col("head") == to_node).select("path")
+    frontier = paths.filter(F.col("head") != to_node)
+    for _ in range(2, max_depth + 1):
+        ext = (
+            frontier.alias("p")
+            .join(edges.alias("e"), F.col("p.head") == F.col("e.src"))
+            .filter(~F.array_contains(F.col("p.path"), F.col("e.dst")))
+            .select(F.concat(F.col("p.path"), F.array(F.col("e.dst")))
+                    .alias("path"),
+                    F.col("e.dst").alias("head"))
+            .distinct()
+        )
+        ext = ext.localCheckpoint(eager=True)
+        if ext.isEmpty():
+            break
+        done = done.unionByName(ext.filter(F.col("head") == to_node)
+                                .select("path"))
+        frontier = ext.filter(F.col("head") != to_node)
+    return (
+        done.distinct()
+        .select("path", F.size("path").alias("depth"))
+        .orderBy("depth", F.array_join("path", ">"))
+    )

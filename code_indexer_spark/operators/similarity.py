@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (SURVEY.md §2.5).
+
+- brute-force cosine top-k: exact baseline (and the correctness oracle
+  for any ANN variant) — crossJoin + window top-k, the Spark form of the
+  reference's "similarity = 1 - distance, sort desc, limit"
+  (filesystem_vector_store.py:3008-3100);
+- LSH-bucketed ANN: random-hyperplane signature buckets (the same
+  Johnson-Lindenstrauss/random-projection idea as the reference's
+  vector quantizer, projection_matrix_manager.py:26-57) -> join on
+  bucket -> exact rescoring inside buckets. At 100 TB the crossJoin is
+  infeasible; the bucket join shuffles O(n·probes) rows instead of
+  O(n·q).
+
+Hyperplanes are derived from md5 bytes of (plane, dim) — deterministic,
+no stored model, reproducible on any engine.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                              F.lit(0.0).cast("double"),
+                              lambda acc, x: acc + x))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim) — exact top-k by cosine;
+    ties broken by neighbor id for cross-engine determinism."""
+    joined = queries.crossJoin(
+        emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("_v"))
+    ).withColumn("sim", F.round(cosine_expr(F.col(qvec_col), F.col("_v")), 4))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "neighbor_id", "rank", "sim")
+    )
+
+
+N_PLANES = 8
+
+
+def _hyperplane_sign(vec_col, plane: int, dim: int):
+    """sign_j for one (plane, dim) weight: parity of the first hex char
+    of md5('<plane>|<dim>') -> weight ±1. JVM-side, deterministic."""
+    h = F.md5(F.concat_ws("|", F.lit(str(plane)), F.lit(str(dim))))
+    return F.when(F.ascii(F.substring(h, 1, 1)) % 2 == 1, F.lit(1.0)) \
+            .otherwise(F.lit(-1.0))
+
+
+def lsh_bucket_expr(vec_col: str, n_planes: int = N_PLANES, dim: int = 64):
+    """Bucket id = sign-pattern of n_planes random ±1 hyperplanes."""
+    bits = []
+    for p in range(n_planes):
+        proj = None
+        for d in range(dim):
+            term = F.element_at(F.col(vec_col), d + 1) * _hyperplane_sign(
+                vec_col, p, d
+            )
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = F.shiftleft(out, 1) + b
+    return out
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    n_planes: int = N_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane bucket, then
+    exact cosine rescoring + window top-k inside the bucket."""
+    e = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("_v"),
+                   lsh_bucket_expr(vec_col, n_planes, dim).alias("bucket"))
+    q = queries.withColumn("bucket", lsh_bucket_expr(qvec_col, n_planes, dim))
+    joined = q.join(e, "bucket").withColumn(
+        "sim", F.round(cosine_expr(F.col(qvec_col), F.col("_v")), 4)
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "neighbor_id", "rank", "sim")
+    )

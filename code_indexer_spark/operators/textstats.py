@@ -1,0 +1,152 @@
+"""Text analysis operators: language-ID, quality scoring, token counts,
+fingerprinting, snippet extraction (training-data-pipeline suite +
+SURVEY.md P9/P10).
+
+All pure column expressions (whole-stage codegen, zero Python) with
+semantics chosen to be expressible 1:1 in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .dedup import tokens_expr
+
+# Tiny stopword sets per language — n-gram-free heuristic language ID:
+# lang = argmax stopword-hit ratio. Deterministic, oracle-expressible.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "that", "is", "with", "for",
+           "on", "as", "at", "by", "while", "across"],
+    "de": ["der", "die", "das", "und", "nicht", "mit", "ist", "von", "zu",
+           "den", "im", "ein", "eine", "auf"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans",
+           "que", "pour", "sur", "avec"],
+}
+
+
+def _hit_ratio(toks_col, words: list[str]):
+    hits = F.size(F.filter(toks_col, lambda t: t.isin(words)))
+    return hits / F.greatest(F.size(toks_col), F.lit(1))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, en_ratio, de_ratio, fr_ratio, lang_guess)."""
+    toks = tokens_expr(text_col)
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    d = d.select(
+        "id",
+        F.round(_hit_ratio(F.col("toks"), STOPWORDS["en"]), 6).alias("en_ratio"),
+        F.round(_hit_ratio(F.col("toks"), STOPWORDS["de"]), 6).alias("de_ratio"),
+        F.round(_hit_ratio(F.col("toks"), STOPWORDS["fr"]), 6).alias("fr_ratio"),
+    )
+    best = F.greatest("en_ratio", "de_ratio", "fr_ratio")
+    guess = (
+        F.when(best <= 0, F.lit("und"))
+        # tie order en > de > fr (deterministic)
+        .when(F.col("en_ratio") == best, F.lit("en"))
+        .when(F.col("de_ratio") == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.withColumn("lang_guess", guess)
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens, mean_token_len, stopword_ratio,
+    alnum_ratio, quality) — length/stopword/charset heuristics like
+    C4/Gopher-style quality filters, all as column math."""
+    t = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    alnum = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", ""))
+    stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS["en"])))
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)
+        .alias("mean_token_len"),
+        F.round(stop / F.greatest(n_tokens, F.lit(1)), 6)
+        .alias("stopword_ratio"),
+        F.round(alnum / F.greatest(n_chars, F.lit(1)), 6).alias("alnum_ratio"),
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0)) * 0.3
+        + F.col("alnum_ratio") * 0.3,
+        6,
+    )
+    return d.withColumn("quality", quality)
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, n_ws_tokens, n_alnum_tokens, n_distinct_tokens) — whitespace
+    tokens vs BPE-ish alnum-run tokens vs distinct vocabulary."""
+    ws = tokens_expr(text_col)
+    alnum_runs = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(alnum_runs).alias("n_alnum_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_tokens"),
+    )
+
+
+def top_tokens(docs: DataFrame, text_col: str = "text",
+               n: int = 50) -> DataFrame:
+    """Global token frequency top-n (P9 identifiers side-channel made
+    into a corpus-level aggregation); ties by token asc."""
+    return (
+        docs.select(F.explode(tokens_expr(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(n)
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3,
+                 keep: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: `keep` smallest md5(word-k-shingle)
+    digests joined with '|' (kernel.hashes.fingerprint semantics)."""
+    from .dedup import word_shingles_df
+
+    sh = word_shingles_df(docs, id_col, text_col, k)
+    return (
+        sh.select("id", F.md5("shingle").alias("d"))
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("d")), 1, keep), "|"
+            ).alias("fingerprint")
+        )
+    )
+
+
+def snippets(docs: DataFrame, needle: str, id_col: str = "doc_id",
+             text_col: str = "text", radius: int = 30) -> DataFrame:
+    """P10: first-match context window around `needle`.
+
+    (id, pos, snippet) for docs containing the needle; snippet is the
+    ±radius chars around the first occurrence (clamped at 1)."""
+    pos = F.instr(F.col(text_col), needle)
+    return (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
+                    pos.alias("pos"))
+        .filter(F.col("pos") > 0)
+        .select(
+            "id", "pos",
+            F.substring(
+                F.col("_t"),
+                F.greatest(F.col("pos") - radius, F.lit(1)),
+                F.lit(radius * 2 + len(needle)),
+            ).alias("snippet"),
+        )
+    )

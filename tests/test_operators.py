@@ -1,0 +1,163 @@
+"""Spark operator unit tests on tiny hand-computed inputs (dedup,
+similarity, fusion, filters, graph)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_exact_dupes(spark):
+    from code_indexer_spark.operators.dedup import exact_dupes
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")], ["doc_id", "text"])
+    got = {(r["n_docs"], r["keep_id"]) for r in exact_dupes(df).collect()}
+    assert got == {(3, 1)}
+
+
+def test_jaccard_pairs_exact_value(spark):
+    from code_indexer_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "z y x w")],
+        ["doc_id", "text"])
+    # 3-shingles: {abc, bcd} vs {abc, bce} -> J = 1/3
+    rows = jaccard_pairs(df, threshold=0.2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2) and abs(r["jac"] - 1 / 3) < 1e-6
+
+
+def test_minhash_matches_kernel(spark):
+    from code_indexer_spark.kernel.hashes import minhash_signature, word_shingles
+    from code_indexer_spark.operators.dedup import minhash_long
+
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {r["seed"]: r["minhash"]
+           for r in minhash_long(df, num_hashes=8).collect()}
+    expect = minhash_signature(word_shingles(text.split(), 3), 8)
+    assert [got[i] for i in range(8)] == expect
+
+
+def test_simhash_matches_kernel(spark):
+    from code_indexer_spark.kernel.hashes import simhash_bits
+    from code_indexer_spark.operators.dedup import simhash_bits_long
+
+    text = "alpha beta gamma delta"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {r["bit_pos"]: r["bit"] for r in simhash_bits_long(df, bits=16).collect()}
+    expect = simhash_bits(text.split(), 16)
+    assert sum(got[j + 1] << (15 - j) for j in range(16)) == expect
+
+
+def test_lsh_finds_exact_copies(spark):
+    from code_indexer_spark.operators.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six"),
+         (2, "one two three four five six"),
+         (3, "seven eight nine ten eleven twelve")],
+        ["doc_id", "text"])
+    rows = lsh_candidate_pairs(df).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["n_bands_shared"] == 8
+
+
+def test_brute_force_topk_and_lsh(spark):
+    from code_indexer_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    vecs = [(i, [1.0 if j == i % 4 else 0.1 for j in range(4)])
+            for i in range(8)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    bf = brute_force_topk(emb, q, k=3)
+    rows = bf.collect()
+    assert rows[0]["neighbor_id"] == 0 and rows[0]["rank"] == 1
+    assert rows[1]["neighbor_id"] == 4  # same direction as 0
+    # LSH top-k is a subset of candidates but must rank its hits exactly
+    lsh = lsh_topk(emb, q, k=3, dim=4).collect()
+    assert lsh[0]["neighbor_id"] == 0
+
+
+def test_rrf_hand_computed(spark):
+    from code_indexer_spark.operators.fusion import fuse_rrf
+
+    ranked = spark.createDataFrame(
+        [("d1", "p1", 1), ("d2", "p1", 2), ("d1", "p2", 1)],
+        ["doc", "provider", "rank"])
+    got = {r["doc"]: (r["rrf_score"], r["n_providers"])
+           for r in fuse_rrf(ranked, ["doc"]).collect()}
+    assert got["d1"] == (round(2 / 61, 6), 2)
+    assert got["d2"] == (round(1 / 62, 6), 1)
+
+
+def test_score_gate_culls_weak_side(spark):
+    from code_indexer_spark.operators.fusion import score_gate
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 0.5), (2, 0.9, 0.78), (3, 0.2, 0.60)],
+        ["id", "score_a", "score_b"])
+    # max_a=1.0, max_b=0.78 < 0.8 -> cull rows with score_b < 0.70
+    got = sorted(r["id"] for r in score_gate(df).collect())
+    assert got == [2]
+
+
+def test_build_filter_nested(spark):
+    from code_indexer_spark.operators.filters import build_filter
+
+    df = spark.createDataFrame(
+        [(1, "click", 10.0), (2, "view", 30.0), (3, "click", 99.0),
+         (4, "error", 20.0)],
+        ["id", "etype", "value"])
+    spec = {
+        "must": [{"key": "value", "range": {"gte": 5.0, "lt": 50.0}}],
+        "should": [{"key": "etype", "match": {"value": "click"}},
+                   {"key": "etype", "match": {"value": "error"}}],
+        "must_not": [{"key": "id", "match": {"value": 4}}],
+    }
+    assert sorted(r["id"] for r in df.filter(build_filter(spec)).collect()) == [1]
+
+
+def test_glob_to_regex(spark):
+    from code_indexer_spark.operators.filters import glob_to_regex
+
+    import re
+    rx = glob_to_regex("src/**/test_?.py")
+    assert re.match(rx, "src/a/b/test_1.py")
+    assert not re.match(rx, "src/a/b/test_12.py")
+    rx2 = glob_to_regex("*.py")
+    assert re.match(rx2, "x.py") and not re.match(rx2, "a/x.py")
+
+
+def test_transitive_closure_and_paths(spark):
+    from code_indexer_spark.operators.graph import (
+        call_chains, impact_bfs, transitive_closure)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "b")],
+        ["src", "dst"])
+    tc = {(r["src"], r["dst"]): r["depth"]
+          for r in transitive_closure(edges, 3).collect()}
+    assert tc[("a", "b")] == 1 and tc[("a", "c")] == 1
+    assert tc[("a", "d")] == 2  # via c (min depth)
+    seeds = spark.createDataFrame([("d",)], ["node"])
+    bfs = {r["node"]: r["dist"] for r in impact_bfs(edges, seeds, 3).collect()}
+    assert bfs == {"c": 1, "a": 2, "b": 2}  # reverse reachability
+    chains = [tuple(r["path"]) for r in call_chains(edges, "a", "d").collect()]
+    assert ("a", "c", "d") in chains and ("a", "b", "c", "d") in chains
+
+
+def test_incremental_anti_join(spark):
+    from code_indexer_spark.operators.extract import incremental_anti_join
+
+    new = spark.createDataFrame(
+        [("u1", 0, "h1"), ("u1", 1, "h2"), ("u2", 0, "h3")],
+        ["url", "chunk_index", "content_hash"])
+    existing = spark.createDataFrame(
+        [("u1", 0, "h1"), ("u1", 1, "OLD")],
+        ["url", "chunk_index", "content_hash"])
+    got = sorted((r["url"], r["chunk_index"])
+                 for r in incremental_anti_join(new, existing).collect())
+    assert got == [("u1", 1), ("u2", 0)]  # changed + brand new only
