@@ -174,18 +174,23 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.5) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a, id_b, sim) — brute-force
-    O(n²) baseline; the LSH/bucketed scale path is operators/similarity."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    O(n²) baseline; the LSH/bucketed scale path is operators/similarity.
+
+    Norms are computed ONCE per row before the join (not per pair) —
+    cuts ~2/3 of the per-pair array work."""
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x),
         F.lit(0.0).cast("double"), lambda acc, x: acc + x))
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   norm(F.col(vec_col)).alias("na"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   norm(F.col(vec_col)).alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0).cast("double"), lambda acc, x: acc + x)
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4))
+        .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -47,10 +47,15 @@ def brute_force_topk(
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, sim) — exact top-k by cosine;
     ties broken by neighbor id for cross-engine determinism."""
-    joined = queries.crossJoin(
+    joined = queries.withColumn("_qn", _norm(F.col(qvec_col))).crossJoin(
         emb.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("_v"))
-    ).withColumn("sim", F.round(cosine_expr(F.col(qvec_col), F.col("_v")), 4))
+                   F.col(vec_col).alias("_v"),
+                   _norm(F.col(vec_col)).alias("_vn"))
+    ).withColumn(
+        "sim",
+        F.round(_dot(F.col(qvec_col), F.col("_v"))
+                / (F.col("_qn") * F.col("_vn")), 4),
+    )
     w = Window.partitionBy(qid_col).orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
@@ -64,28 +69,38 @@ def brute_force_topk(
 N_PLANES = 8
 
 
-def _hyperplane_sign(vec_col, plane: int, dim: int):
-    """sign_j for one (plane, dim) weight: parity of the first hex char
-    of md5('<plane>|<dim>') -> weight ±1. JVM-side, deterministic."""
-    h = F.md5(F.concat_ws("|", F.lit(str(plane)), F.lit(str(dim))))
-    return F.when(F.ascii(F.substring(h, 1, 1)) % 2 == 1, F.lit(1.0)) \
-            .otherwise(F.lit(-1.0))
+def _hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """±1 weight per (plane, dim): parity of the first hex digit's value
+    of md5('<plane>|<dim>') — deterministic and reproducible anywhere
+    (SQL form: ('0x'||substr(md5(p||'|'||d),1,1))::int % 2)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
 def lsh_bucket_expr(vec_col: str, n_planes: int = N_PLANES, dim: int = 64):
-    """Bucket id = sign-pattern of n_planes random ±1 hyperplanes."""
-    bits = []
-    for p in range(n_planes):
-        proj = None
-        for d in range(dim):
-            term = F.element_at(F.col(vec_col), d + 1) * _hyperplane_sign(
-                vec_col, p, d
-            )
-            proj = term if proj is None else proj + term
-        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)))
+    """Bucket id = sign-pattern of n_planes ±1 random hyperplanes.
+
+    Weights are literal arrays (computed driver-side with the same md5
+    rule), so the plan is one zip_with/aggregate per plane instead of a
+    512-node element_at tree."""
+    weights = _hyperplane_weights(n_planes, dim)
     out = F.lit(0)
-    for b in bits:
-        out = F.shiftleft(out, 1) + b
+    for p in range(n_planes):
+        w = F.array(*[F.lit(x) for x in weights[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda x, y: x * y),
+            F.lit(0.0).cast("double"), lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+        out = F.shiftleft(out, 1) + bit
     return out
 
 
@@ -104,10 +119,14 @@ def lsh_topk(
     exact cosine rescoring + window top-k inside the bucket."""
     e = emb.select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("_v"),
+                   _norm(F.col(vec_col)).alias("_vn"),
                    lsh_bucket_expr(vec_col, n_planes, dim).alias("bucket"))
-    q = queries.withColumn("bucket", lsh_bucket_expr(qvec_col, n_planes, dim))
+    q = queries.withColumn("bucket", lsh_bucket_expr(qvec_col, n_planes, dim)) \
+               .withColumn("_qn", _norm(F.col(qvec_col)))
     joined = q.join(e, "bucket").withColumn(
-        "sim", F.round(cosine_expr(F.col(qvec_col), F.col("_v")), 4)
+        "sim",
+        F.round(_dot(F.col(qvec_col), F.col("_v"))
+                / (F.col("_qn") * F.col("_vn")), 4),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

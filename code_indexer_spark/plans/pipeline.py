@@ -29,8 +29,17 @@ from ..operators.triples import broadcast_alias_rows, mentions_stage, triples_st
 EDGE_SALT_BUCKETS = 16
 
 
-def read_pages(spark: SparkSession, kg_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{kg_dir}/pages.parquet")
+def read_pages(spark: SparkSession, kg_dir: str,
+               for_udf: bool = False) -> DataFrame:
+    """Read the pages table. With for_udf=True, repartition to the
+    session's full parallelism first: the fixture is a single parquet
+    file (few input splits), and the downstream Arrow-UDF stages are
+    CPU-bound — at cluster scale the table is already partitioned by
+    days(warc_ts)/bucket(url) and this becomes a no-op."""
+    df = spark.read.parquet(f"{kg_dir}/pages.parquet")
+    if for_udf:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def read_alias(spark: SparkSession, kg_dir: str) -> DataFrame:
@@ -43,20 +52,21 @@ def read_entities(spark: SparkSession, kg_dir: str) -> DataFrame:
 
 def build_chunks(spark: SparkSession, kg_dir: str) -> DataFrame:
     """pages -> embedded chunks table (the reference's vector points)."""
-    pages = read_pages(spark, kg_dir)
+    pages = read_pages(spark, kg_dir, for_udf=True)
     return embed_stage(chunk_stage(extract_stage(pages)))
 
 
 def build_raw_triples(spark: SparkSession, kg_dir: str,
                       pages: DataFrame | None = None) -> DataFrame:
-    pages = pages if pages is not None else read_pages(spark, kg_dir)
+    pages = pages if pages is not None else read_pages(spark, kg_dir,
+                                                       for_udf=True)
     alias_bc = broadcast_alias_rows(spark, read_alias(spark, kg_dir))
     return triples_stage(extract_stage(pages), alias_bc)
 
 
 def build_mentions(spark: SparkSession, kg_dir: str) -> DataFrame:
     alias_bc = broadcast_alias_rows(spark, read_alias(spark, kg_dir))
-    pages = read_pages(spark, kg_dir)
+    pages = read_pages(spark, kg_dir, for_udf=True)
     return mentions_stage(chunk_stage(extract_stage(pages)), alias_bc)
 
 
