@@ -105,6 +105,40 @@ def triples_stage(extracted: DataFrame, alias_bc,
     )
 
 
+def extract_triples_fused(pages: DataFrame, alias_bc) -> DataFrame:
+    """Fused extract + rule-match + link stage: html -> triples in ONE
+    mapInPandas pass (one Arrow round trip instead of two; the full
+    extracted text never crosses the JVM/Python boundary).
+
+    Same semantics as triples_stage(extract_stage(pages)) — both call
+    the identical kernels; the fused form is the hot production path,
+    the staged form keeps intermediate tables inspectable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.extract import extract_text
+        from ..kernel.nlp import extract_triples_from_text
+
+        idx = None
+        for pdf in batches:
+            if idx is None:
+                idx = _index_of(alias_bc)
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text(html)
+                for s, p, o, rid, conf in extract_triples_from_text(text, idx):
+                    rows.append((url, s, p, o, rid, conf))
+            yield pd.DataFrame(
+                rows, columns=["src_url", "subj", "pred", "obj", "rule_id",
+                               "confidence"],
+            )
+
+    raw = pages.select("url", "html").mapInPandas(run, schema=TRIPLE_SCHEMA)
+    return raw.withColumn(
+        "triple_id",
+        F.sha2(F.concat_ws("|", "subj", "pred", "obj", "src_url"), 256),
+    )
+
+
 def mentions_stage(chunks: DataFrame, alias_bc) -> DataFrame:
     """chunks -> mentions(url, chunk_index, token_pos, alias_norm,
     entity_id, link_score, entity_id_candidates).

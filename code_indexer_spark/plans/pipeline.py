@@ -31,14 +31,18 @@ EDGE_SALT_BUCKETS = 16
 
 def read_pages(spark: SparkSession, kg_dir: str,
                for_udf: bool = False) -> DataFrame:
-    """Read the pages table. With for_udf=True, repartition to the
-    session's full parallelism first: the fixture is a single parquet
-    file (few input splits), and the downstream Arrow-UDF stages are
-    CPU-bound — at cluster scale the table is already partitioned by
-    days(warc_ts)/bucket(url) and this becomes a no-op."""
+    """Read the pages table. With for_udf=True, ensure at least
+    defaultParallelism input partitions for the CPU-bound Arrow-UDF
+    stages. Spark's file scan already targets
+    spark.sql.files.minPartitionNum = defaultParallelism splits, so the
+    repartition (a shuffle of the raw html bytes) only triggers when the
+    scan genuinely can't split enough — at cluster scale the table is
+    partitioned by days(warc_ts)/bucket(url) and this is a no-op."""
     df = spark.read.parquet(f"{kg_dir}/pages.parquet")
     if for_udf:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        want = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, want // 2):
+            df = df.repartition(want)
     return df
 
 
@@ -58,10 +62,14 @@ def build_chunks(spark: SparkSession, kg_dir: str) -> DataFrame:
 
 def build_raw_triples(spark: SparkSession, kg_dir: str,
                       pages: DataFrame | None = None) -> DataFrame:
+    """html -> raw triples via the fused one-pass UDF stage (see
+    operators.triples.extract_triples_fused)."""
+    from ..operators.triples import extract_triples_fused
+
     pages = pages if pages is not None else read_pages(spark, kg_dir,
                                                        for_udf=True)
     alias_bc = broadcast_alias_rows(spark, read_alias(spark, kg_dir))
-    return triples_stage(extract_stage(pages), alias_bc)
+    return extract_triples_fused(pages, alias_bc)
 
 
 def build_mentions(spark: SparkSession, kg_dir: str) -> DataFrame:

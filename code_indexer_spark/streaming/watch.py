@@ -1,0 +1,92 @@
+"""Streaming ingestion — the watch-mode analog (SURVEY.md §2.10).
+
+Reference: watchdog FS events debounced 2.0 s into pending batches
+(git_aware_watch_handler.py:22-60, timer :227), incremental HNSW
+updates per batch (filesystem_vector_store.py:4040-4224), resume via
+watch metadata (services/watch_metadata.py).
+
+Spark mapping:
+- source: file-stream over the pages directory (at scale: Iceberg
+  incremental snapshot reads / Kafka of WARC records);
+- debounce window  -> trigger(processingTime="2 seconds") micro-batches
+  (availableNow in tests for a bounded run);
+- pending-set accumulation -> the micro-batch itself;
+- watch metadata resume -> checkpointLocation (offsets + sink commit log);
+- incremental index update -> idempotent append of content-addressed
+  rows (triple_id / point_id), so replays after failure dedupe at read
+  time exactly like the reference's content-id check.
+
+The SAME batch stages run inside the stream — extract/chunk/triples are
+narrow mapInPandas transforms, legal in Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType, StringType, StructField, StructType, TimestampType,
+)
+
+from ..operators.extract import chunk_stage, extract_stage
+from ..operators.triples import extract_triples_fused
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream of page parquet files (one file ≈ one debounced
+    batch of changed pages)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def stream_triples(pages_stream: DataFrame, alias_bc) -> DataFrame:
+    """Streaming triple extraction — identical stage as batch."""
+    return extract_triples_fused(pages_stream, alias_bc)
+
+
+def stream_chunks(pages_stream: DataFrame) -> DataFrame:
+    return chunk_stage(extract_stage(pages_stream))
+
+
+def run_available_now(stream_df: DataFrame, out_dir: str,
+                      checkpoint_dir: str):
+    """Drain everything currently available (the test/backfill trigger),
+    writing parquet with exactly-once sink semantics via the checkpoint.
+    Returns the StreamingQuery after awaiting termination."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def windowed_page_rates(pages_stream: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window ingest metrics (the reference's 30 s
+    rolling throughput window, vector_calculation_manager.py:229-232,
+    plus the 60 s late-data safety buffer from
+    progressive_metadata.py:148-168 as the watermark)."""
+    return (
+        pages_stream.withWatermark("warc_ts", "60 seconds")
+        .groupBy(F.window("warc_ts", "30 seconds").alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages")
+    )

@@ -26,6 +26,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {root!r})
+import pyspark.sql.functions as F
 from code_indexer_spark.session import get_spark
 from code_indexer_spark.plans.pipeline import build_raw_triples, read_pages
 
@@ -34,6 +35,15 @@ spark = get_spark("scaling", master="local[{cores}]",
 spark.sparkContext.setLogLevel("ERROR")
 kg = {kg!r}
 n_pages = read_pages(spark, kg).count()
+
+# Warm-up (untimed): fork + import the Python workers and fill their
+# per-worker caches on a 1% url-hash sample. On a real cluster the
+# executors are long-lived; this mirrors the reference's warm-server
+# measurement protocol (docs/operating-modes.md:360-370).
+warm = read_pages(spark, kg, for_udf=True).filter(
+    F.pmod(F.xxhash64("url"), F.lit(100)) == 0)
+build_raw_triples(spark, kg, pages=warm).count()
+
 t0 = time.monotonic()
 n_triples = build_raw_triples(spark, kg).count()
 dt = time.monotonic() - t0
@@ -58,7 +68,7 @@ def run_level(kg: str, cores: int) -> dict:
 def main() -> None:
     kg = sys.argv[1] if len(sys.argv) > 1 else \
         os.path.join(ROOT, "data", "kg", "sf_bench")
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
     results = {n: [], 4 * n: []}
