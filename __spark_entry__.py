@@ -427,6 +427,72 @@ def q_snippets(spark, sf_dir):
         .withColumnRenamed("id", "doc_id")
 
 
+def q_merge_upsert(spark, sf_dir):
+    """S6 MERGE semantics: source wins on key collision, unmatched
+    target rows survive, brand-new keys insert."""
+    from code_indexer_spark.sources.tables import merge_upsert
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.select("doc_id", F.md5("text").alias("payload"))
+    source = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5(F.concat_ws("#", "text", F.lit("v2"))).alias("payload")
+    ).unionByName(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.md5(F.concat_ws("#", "text", F.lit("new"))).alias("payload"))
+    )
+    return merge_upsert(target, source, ["doc_id"])
+
+
+def q_merge_clean_orphans(spark, sf_dir):
+    """S6 orphan cleanup: re-indexed docs keep ONLY their new chunks
+    (WHEN NOT MATCHED BY SOURCE THEN DELETE scoped to touched doc_ids)."""
+    from code_indexer_spark.sources.tables import merge_upsert_clean_orphans
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("chunk_index")
+    ).withColumn(
+        "h", F.md5(F.concat_ws("#", "doc_id", "chunk_index")))
+    source = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit(0).alias("chunk_index"),
+        F.md5(F.concat_ws("#", "doc_id", F.lit("re"))).alias("h"))
+    return merge_upsert_clean_orphans(
+        target, source, ["doc_id", "chunk_index"], ["doc_id"])
+
+
+def q_incremental_scan(spark, sf_dir):
+    """S2 incremental scan: rows newer than a watermark (partition-
+    prunable predicate)."""
+    from code_indexer_spark.sources.tables import incremental_read
+
+    return incremental_read(
+        spark, os.path.join(sf_dir, "events.parquet"), "ts", "2024-01-20"
+    ).select("event_id", "user_id", "event_type",
+             F.round("value", 4).alias("value"))
+
+
+def q_identifiers(spark, sf_dir):
+    """P9 identifier tokenization as a JVM-side column expression."""
+    from code_indexer_spark.functions.columns import identifiers
+
+    d = _t(spark, sf_dir, "documents")
+    ids = identifiers("text")
+    return d.select(
+        "doc_id", F.size(ids).alias("n_identifiers"),
+        F.array_join(ids, " ").alias("identifiers_joined"))
+
+
+def q_norm_surface(spark, sf_dir):
+    """Alias-key normalization (Column twin of kernel.nlp
+    normalize_surface) over the first 100 chars of each doc."""
+    from code_indexer_spark.functions.columns import norm_surface
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", norm_surface(F.substring("text", 1, 100)).alias("norm"))
+
+
 def q_graph_deps(spark, sf_dir):
     """G3 depth-2 dependencies: supplier -> part -> co-supplier."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
@@ -566,6 +632,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "fingerprints": q_fingerprints,
         "snippets": q_snippets,
+        "merge_upsert": q_merge_upsert,
+        "merge_clean_orphans": q_merge_clean_orphans,
+        "incremental_scan": q_incremental_scan,
+        "identifiers": q_identifiers,
+        "norm_surface": q_norm_surface,
         "graph_deps": q_graph_deps,
         "graph_impact": q_graph_impact,
         "call_chains": q_call_chains,
@@ -1052,6 +1123,61 @@ def oracle_sql() -> dict[str, str]:
                    AS snippet
         FROM documents
         WHERE strpos(text, 'spark') > 0
+    """
+
+    sqls["merge_upsert"] = """
+        WITH source AS (
+            SELECT doc_id, md5(text || '#' || 'v2') AS payload
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, md5(text || '#' || 'new') AS payload
+            FROM documents WHERE doc_id % 25 = 0
+        )
+        SELECT doc_id, md5(text) AS payload FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM source)
+        UNION ALL
+        SELECT doc_id, payload FROM source
+    """
+
+    sqls["merge_clean_orphans"] = """
+        WITH target AS (
+            SELECT doc_id, i AS chunk_index,
+                   md5(doc_id::VARCHAR || '#' || i::VARCHAR) AS h
+            FROM documents, generate_series(0, 2) AS g(i)
+        ),
+        source AS (
+            SELECT doc_id, 0 AS chunk_index,
+                   md5(doc_id::VARCHAR || '#' || 're') AS h
+            FROM documents WHERE doc_id % 5 = 0
+        )
+        SELECT t.doc_id, t.chunk_index, t.h FROM target t
+        WHERE t.doc_id NOT IN (SELECT doc_id FROM source)
+        UNION ALL
+        SELECT doc_id, chunk_index, h FROM source
+    """
+
+    sqls["incremental_scan"] = """
+        SELECT event_id, user_id, event_type, round(value, 4) AS value
+        FROM events WHERE ts > TIMESTAMP '2024-01-20'
+    """
+
+    sqls["identifiers"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS ids
+            FROM documents
+        )
+        SELECT doc_id, len(ids) AS n_identifiers,
+               array_to_string(ids, ' ') AS identifiers_joined
+        FROM t
+    """
+
+    sqls["norm_surface"] = """
+        SELECT doc_id,
+               trim(regexp_replace(lower(substr(text, 1, 100)),
+                                   '[^a-z0-9]+', ' ', 'g')) AS norm
+        FROM documents
     """
 
     sqls["graph_deps"] = """

@@ -348,13 +348,18 @@ def generate(out_dir: str, n_pages: int, seed: int = SEED,
                               "text": texts, "lang": langs}, schema=schema)
             if writer is None:
                 writer = pq.ParquetWriter(pages_path, schema)
-            writer.write_table(batch)
+            # fine row groups (2k rows ~ 1 MB) so Spark's scan can hand
+            # out balanced splits at any parallelism — the bench-scale
+            # analog of the 128 MB-block layout a 100 TB table would use;
+            # coarse 20k-row groups caused 2-wave task skew at local[8]
+            writer.write_table(batch, row_group_size=2000)
             urls, tss, htmls, texts, langs = [], [], [], [], []
     if writer is not None:
         writer.close()
 
 
-SCALES = {"sf_small": 1000, "sf_med": 20000, "sf_bench": 200000}
+SCALES = {"sf_small": 1000, "sf_med": 20000, "sf_bench": 200000,
+          "sf_scale": 600000}
 
 
 def main():

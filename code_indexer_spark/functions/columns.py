@@ -1,0 +1,75 @@
+"""Reusable Column-expression helpers — the engine's "functions" surface.
+
+Everything here is a pure pyspark.sql.functions composition (JVM-side,
+whole-stage-codegen friendly); none of it forces a Python UDF. These are
+the column-level contracts the reference implements imperatively:
+
+- content_hash / point_id: content-addressed identity
+  (/root/reference/src/code_indexer/services/file_chunking_manager.py:376-387);
+- identifiers: the FTS identifiers side channel
+  (services/smart_indexer.py:1309 — ``text.split()``);
+- norm_surface: alias normalization (mirror of kernel.nlp.
+  normalize_surface — lowercase alnum runs joined by single spaces);
+- rrf_term: the reciprocal-rank-fusion summand, RRF_K=60
+  (services/query_strategy.py:48,130-173);
+- snippet: N-char context window around the first match
+  (services/tantivy_index_manager.py:1133-1186).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+RRF_K = 60
+
+
+def content_hash(text: Column | str) -> Column:
+    """sha256 of the chunk text (file_chunking_manager.py:386-387)."""
+    return F.sha2(F.col(text) if isinstance(text, str) else text, 256)
+
+
+def point_id(url: Column | str, chash: Column | str,
+             chunk_index: Column | str) -> Column:
+    """md5(url + content_hash + chunk_index) (:376-380)."""
+    cols = [F.col(c) if isinstance(c, str) else c
+            for c in (url, chash, chunk_index)]
+    return F.md5(F.concat_ws("_", *cols))
+
+
+def triple_id(subj: Column | str, pred: Column | str, obj: Column | str,
+              src_url: Column | str) -> Column:
+    """Content-addressed triple identity — the MERGE idempotency key."""
+    cols = [F.col(c) if isinstance(c, str) else c
+            for c in (subj, pred, obj, src_url)]
+    return F.sha2(F.concat_ws("|", *cols), 256)
+
+
+def identifiers(text: Column | str) -> Column:
+    """Whitespace token array (smart_indexer.py:1309), empties dropped."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+def norm_surface(s: Column | str) -> Column:
+    """Lowercase, collapse non-alnum runs to single spaces, trim — the
+    Column twin of kernel.nlp.normalize_surface (alias join key)."""
+    c = F.col(s) if isinstance(s, str) else s
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def rrf_term(rank: Column | str, k: int = RRF_K) -> Column:
+    """1 / (k + rank); sum per key across providers = RRF score."""
+    c = F.col(rank) if isinstance(rank, str) else rank
+    return F.lit(1.0) / (F.lit(k) + c)
+
+
+def snippet(text: Column | str, needle: str, before: int = 30,
+            width: int = 65) -> Column:
+    """Context window around the first occurrence of ``needle``;
+    NULL when absent. 1-based substr like the reference's line slice."""
+    c = F.col(text) if isinstance(text, str) else text
+    pos = F.instr(c, needle)
+    return F.when(
+        pos > 0, F.substring(c, F.greatest(pos - before, F.lit(1)), width)
+    )

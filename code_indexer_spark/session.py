@@ -21,6 +21,7 @@ parquet via sources/tables.py behind the same API.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -38,6 +39,15 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS
     )
+    # Task granularity: aim for >= 4 tasks per core on file scans so the
+    # scan->UDF stages load-balance (stragglers cost <= 1/4 wave instead
+    # of a full wave). Mirrors tasks >> slots on a real cluster.
+    m = re.fullmatch(r"local\[(\d+|\*)\]", master)
+    if m:
+        cores = os.cpu_count() if m.group(1) == "*" else int(m.group(1))
+    else:
+        cores = os.cpu_count() or 8
+    min_partitions = str(4 * cores)
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -51,6 +61,10 @@ def get_spark(
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.sql.files.minPartitionNum", min_partitions)
+        # default 4 MB open-cost floors the split count on ~100 MB bench
+        # inputs; at real scale files are GB-sized and this is a no-op
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

@@ -1,0 +1,89 @@
+"""Table layer: parquet-backed stand-in for the Iceberg catalog.
+
+At real scale every function here is one Iceberg statement (MERGE INTO /
+incremental snapshot read); the sandbox has no Iceberg runtime jar, so
+the same semantics are expressed as DataFrame ops over partitioned
+parquet. The public API is what the rest of the engine programs against,
+so swapping the backend touches only this module.
+
+Reference parity (SURVEY.md §2.1):
+- S2 incremental scan  <- find_modified_files(since_ts)
+  (/root/reference/src/code_indexer/indexing/file_finder.py:307-314);
+- S3 deleted detection <- find_deleted_files
+  (file_finder.py:341-355) = left_anti join;
+- S6 upsert sink       <- upsert_points + orphan cleanup
+  (storage/filesystem_vector_store.py:1015-1416, orphans :1148-1241):
+  MERGE INTO target USING source ON key WHEN MATCHED UPDATE
+  WHEN NOT MATCHED INSERT; orphan cleanup = WHEN NOT MATCHED BY SOURCE
+  THEN DELETE, scoped to the touched urls;
+- S7 finalize          <- end_indexing (filesystem_vector_store.py:602):
+  the atomic parquet-directory (Iceberg snapshot) commit IS the finalize.
+
+Scale notes: merge_upsert rewrites only rows whose key collides —
+realized here as anti-join + union + overwrite; on Iceberg the engine
+rewrites only matching data files (merge-on-read at 100 TB). Both sides
+shuffle on the key columns once; AQE handles skewed keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+    """Partitioned parquet write (Iceberg table write at scale)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def incremental_read(spark: SparkSession, path: str, ts_col: str,
+                     watermark) -> DataFrame:
+    """S2: rows newer than the watermark. The predicate is a plain
+    comparison on the partition/sort column, so Catalyst turns it into
+    partition pruning + row-group skipping (no full scan)."""
+    return spark.read.parquet(path).filter(F.col(ts_col) > F.lit(watermark))
+
+
+def deleted_keys(indexed: DataFrame, current: DataFrame,
+                 key_cols: list[str]) -> DataFrame:
+    """S3/U1: keys present in the indexed snapshot but gone from the
+    current one — left_anti join (shuffle on key, broadcast if small)."""
+    return indexed.select(*key_cols).distinct().join(
+        current.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    )
+
+
+def merge_upsert(target: DataFrame, source: DataFrame,
+                 key_cols: list[str]) -> DataFrame:
+    """S6 MERGE: source rows win on key collision; unmatched target rows
+    survive. Returns the merged relation (caller writes it).
+
+    Equivalent Iceberg: MERGE INTO t USING s ON <keys>
+    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *.
+    """
+    keep = target.join(source.select(*key_cols).distinct(),
+                       on=key_cols, how="left_anti")
+    return keep.unionByName(source)
+
+
+def merge_upsert_clean_orphans(
+    target: DataFrame, source: DataFrame, key_cols: list[str],
+    scope_cols: list[str],
+) -> DataFrame:
+    """S6 + orphan cleanup: like merge_upsert, but *within the scoped
+    groups the source touches* (e.g. the urls being re-indexed), target
+    rows with no matching source key are DROPPED — the reference's
+    per-file orphan-point deletion (filesystem_vector_store.py:1148-1241)
+    / Iceberg's WHEN NOT MATCHED BY SOURCE THEN DELETE with a scope
+    predicate. Outside the touched scope the target is untouched."""
+    touched = source.select(*scope_cols).distinct()
+    untouched = target.join(touched, on=scope_cols, how="left_anti")
+    return untouched.unionByName(source)

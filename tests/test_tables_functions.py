@@ -1,0 +1,88 @@
+"""sources.tables MERGE semantics + functions.columns expression tests
+(hand-computed tiny inputs, SURVEY.md §5 operator-level style)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from code_indexer_spark.functions.columns import (
+    identifiers, norm_surface, point_id, rrf_term, snippet, triple_id,
+)
+from code_indexer_spark.sources.tables import (
+    deleted_keys, incremental_read, merge_upsert, merge_upsert_clean_orphans,
+)
+
+
+def test_merge_upsert_source_wins(spark):
+    target = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], ["k", "v"])
+    source = spark.createDataFrame(
+        [(2, "new2"), (4, "new4")], ["k", "v"])
+    got = {(r.k, r.v) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {(1, "old1"), (2, "new2"), (3, "old3"), (4, "new4")}
+
+
+def test_merge_clean_orphans_scoped_delete(spark):
+    # doc 10 is re-indexed with ONE chunk (had two -> orphan dropped);
+    # doc 20 untouched -> both chunks survive.
+    target = spark.createDataFrame(
+        [(10, 0, "a"), (10, 1, "b"), (20, 0, "c"), (20, 1, "d")],
+        ["doc", "chunk", "v"])
+    source = spark.createDataFrame([(10, 0, "a2")], ["doc", "chunk", "v"])
+    got = {(r.doc, r.chunk, r.v) for r in merge_upsert_clean_orphans(
+        target, source, ["doc", "chunk"], ["doc"]).collect()}
+    assert got == {(10, 0, "a2"), (20, 0, "c"), (20, 1, "d")}
+
+
+def test_deleted_keys_left_anti(spark):
+    indexed = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    current = spark.createDataFrame([(2,), (3,)], ["k"])
+    got = {r.k for r in deleted_keys(indexed, current, ["k"]).collect()}
+    assert got == {1}
+
+
+def test_incremental_read_watermark(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-02-01")], ["k", "d"]
+    ).withColumn("ts", F.to_timestamp("d"))
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+    got = {r.k for r in
+           incremental_read(spark, path, "ts", "2024-01-15").collect()}
+    assert got == {2}
+
+
+def test_column_functions_values(spark):
+    df = spark.createDataFrame(
+        [("https://u/1", "  Hello,  World! x9 ", "abc Hello xyz")],
+        ["url", "text", "body"])
+    row = df.select(
+        F.array_join(identifiers("text"), "|").alias("ids"),
+        norm_surface("text").alias("norm"),
+        point_id("url", F.lit("h"), F.lit(0)).alias("pid"),
+        triple_id(F.lit("s"), F.lit("p"), F.lit("o"), "url").alias("tid"),
+        F.round(rrf_term(F.lit(1)), 6).alias("rrf"),
+        snippet("body", "Hello", before=2, width=7).alias("snip"),
+    ).collect()[0]
+    assert row.ids == "Hello,|World!|x9"
+    assert row.norm == "hello world x9"
+    import hashlib
+    assert row.pid == hashlib.md5(b"https://u/1_h_0").hexdigest()
+    assert row.tid == hashlib.sha256(b"s|p|o|https://u/1").hexdigest()
+    assert row.rrf == round(1.0 / 61, 6)
+    # instr('abc Hello xyz','Hello')=5 -> start max(5-2,1)=3 -> 'c Hello'
+    assert row.snip == "c Hello"
+
+
+def test_norm_surface_matches_kernel(spark):
+    from code_indexer_spark.kernel.nlp import normalize_surface
+
+    samples = ["Acme Data Corp", "J. Montara", "The  Silent   River!!",
+               "café résumé", "a-b_c9", ""]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = [r.n for r in
+           df.select(norm_surface("s").alias("n")).collect()]
+    # ascii-only samples must agree exactly with the Python kernel
+    for s, g in zip(samples, got):
+        if s.isascii():
+            assert g == normalize_surface(s), s
