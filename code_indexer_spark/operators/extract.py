@@ -142,6 +142,72 @@ def embed_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def build_chunks_fused(pages: DataFrame) -> DataFrame:
+    """Fused extract + chunk + embed: html -> embedded chunk rows in ONE
+    mapInPandas pass (one Arrow round trip instead of three; html and
+    the full extracted text never re-cross the JVM/Python boundary).
+
+    Same semantics as embed_stage(chunk_stage(extract_stage(pages))) —
+    identical kernels; the staged form stays for inspectability, this is
+    the hot production path (the 3-stage chain spent ~10x the kernel
+    cost on Arrow serialization of full page payloads)."""
+    out_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts",
+                        pages.schema["warc_ts"].dataType),
+            StructField("lang", StringType()),
+        ]
+        + list(CHUNK_STRUCT.fields)
+        + [
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("vbucket", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.chunker import chunk_text
+        from ..kernel.embed import bucket_of, embed_text
+        from ..kernel.extract import extract_text
+
+        for pdf in batches:
+            rows = []
+            for url, ts, lang, html in zip(
+                pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["html"]
+            ):
+                text = extract_text(html)
+                for c in chunk_text(text, 1000):
+                    v = embed_text(c["text"])
+                    rows.append((
+                        url, ts, lang, c["text"], c["chunk_index"],
+                        c["total_chunks"], c["size"], c["line_start"],
+                        c["line_end"], v.tolist(), bucket_of(v),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "lang", "text", "chunk_index",
+                         "total_chunks", "size", "line_start", "line_end",
+                         "embedding", "vbucket"],
+            )
+
+    chunks = pages.select("url", "warc_ts", "lang", "html").mapInPandas(
+        run, schema=StructType(
+            [out_schema["url"], out_schema["warc_ts"], out_schema["lang"],
+             out_schema["text"], out_schema["chunk_index"],
+             out_schema["total_chunks"], out_schema["size"],
+             out_schema["line_start"], out_schema["line_end"],
+             out_schema["embedding"], out_schema["vbucket"]]
+        )
+    )
+    return chunks.withColumn(
+        "content_hash", F.sha2(F.col("text"), 256)
+    ).withColumn(
+        "point_id",
+        F.md5(F.concat_ws("_", F.col("url"), F.col("content_hash"),
+                          F.col("chunk_index"))),
+    )
+
+
 def incremental_anti_join(
     new_chunks: DataFrame, existing_chunks: DataFrame
 ) -> DataFrame:

@@ -55,7 +55,16 @@ def read_entities(spark: SparkSession, kg_dir: str) -> DataFrame:
 
 
 def build_chunks(spark: SparkSession, kg_dir: str) -> DataFrame:
-    """pages -> embedded chunks table (the reference's vector points)."""
+    """pages -> embedded chunks table (the reference's vector points).
+    Uses the fused one-pass UDF stage; build_chunks_staged keeps the
+    3-stage form for intermediate inspection."""
+    from ..operators.extract import build_chunks_fused
+
+    pages = read_pages(spark, kg_dir, for_udf=True)
+    return build_chunks_fused(pages)
+
+
+def build_chunks_staged(spark: SparkSession, kg_dir: str) -> DataFrame:
     pages = read_pages(spark, kg_dir, for_udf=True)
     return embed_stage(chunk_stage(extract_stage(pages)))
 

@@ -161,3 +161,29 @@ def test_incremental_anti_join(spark):
     got = sorted((r["url"], r["chunk_index"])
                  for r in incremental_anti_join(new, existing).collect())
     assert got == [("u1", 1), ("u2", 0)]  # changed + brand new only
+
+
+def test_fused_chunks_equals_staged(spark, kg_small):
+    """build_chunks (fused one-pass UDF) must be value-identical to the
+    staged extract->chunk->embed chain, embeddings included."""
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.plans.pipeline import (
+        build_chunks, build_chunks_staged)
+
+    cols = ["url", "chunk_index", "total_chunks", "size", "line_start",
+            "line_end", "text", "content_hash", "point_id", "vbucket"]
+
+    def value_hash(df):
+        row_h = F.md5(F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in cols],
+            F.round(F.aggregate("embedding", F.lit(0.0),
+                                lambda a, x: a + x), 5).cast("string")))
+        return df.select(row_h.alias("h")).agg(
+            F.coalesce(F.expr("bit_xor(xxhash64(h))"), F.lit(0)).alias("x")
+        ).collect()[0]["x"]
+
+    fused = build_chunks(spark, kg_small)
+    staged = build_chunks_staged(spark, kg_small)
+    assert fused.count() == staged.count() > 0
+    assert value_hash(fused) == value_hash(staged)
