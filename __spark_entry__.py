@@ -427,6 +427,64 @@ def q_snippets(spark, sf_dir):
         .withColumnRenamed("id", "doc_id")
 
 
+def q_rrf_multi_shard(spark, sf_dir):
+    """A3 fuse_rrf_multi: rank within 3 shards, RRF-sum across shards
+    (temporal_fusion.py:37-111 semantics)."""
+    from code_indexer_spark.operators.fusion import add_rank, fuse_rrf
+
+    e = _t(spark, sf_dir, "events")
+    sharded = e.withColumn(
+        "provider",
+        F.concat(F.lit("shard"), F.pmod(F.col("user_id"), F.lit(3))))
+    ranked = add_rank(
+        sharded.select(F.col("event_id").alias("doc_id"), "provider",
+                       F.col("value").alias("s")),
+        ["provider"], "s", "doc_id",
+    ).filter(F.col("rank") <= 100)
+    return fuse_rrf(ranked.select("doc_id", "provider", "rank"),
+                    ["doc_id"]).orderBy(F.desc("rrf_score"), "doc_id") \
+        .withColumnRenamed("doc_id", "event_id")
+
+
+def q_scroll_points(spark, sf_dir):
+    """S4 scroll_points pagination: stable order + limit/offset."""
+    d = _t(spark, sf_dir, "documents")
+    page = (
+        d.select("doc_id", F.md5("text").alias("payload_hash"))
+        .orderBy("doc_id")
+        .offset(100).limit(50)
+    )
+    return page
+
+
+def q_unique_counts(spark, sf_dir):
+    """A13 unique-file counting: distinct sources + docs per lang."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.countDistinct("source").alias("n_sources"),
+             F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+def q_language_expand(spark, sf_dir):
+    """F8 language filter expansion: friendly name -> extension set,
+    filter via isin (language_mapper.py:29-60 semantics)."""
+    from code_indexer_spark.operators.filters import expand_language
+
+    d = _t(spark, sf_dir, "documents")
+    ext = F.element_at(
+        F.array(F.lit("py"), F.lit("pyw"), F.lit("js"), F.lit("go")),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"))
+    return (
+        d.withColumn("ext", ext)
+        .filter(F.col("ext").isin(expand_language("python")))
+        .select("doc_id", "ext")
+        .orderBy("doc_id")
+    )
+
+
 def q_merge_upsert(spark, sf_dir):
     """S6 MERGE semantics: source wins on key collision, unmatched
     target rows survive, brand-new keys insert."""
@@ -632,6 +690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "fingerprints": q_fingerprints,
         "snippets": q_snippets,
+        "rrf_multi_shard": q_rrf_multi_shard,
+        "scroll_points": q_scroll_points,
+        "unique_counts": q_unique_counts,
+        "language_expand": q_language_expand,
         "merge_upsert": q_merge_upsert,
         "merge_clean_orphans": q_merge_clean_orphans,
         "incremental_scan": q_incremental_scan,
@@ -1123,6 +1185,45 @@ def oracle_sql() -> dict[str, str]:
                    AS snippet
         FROM documents
         WHERE strpos(text, 'spark') > 0
+    """
+
+    sqls["rrf_multi_shard"] = """
+        WITH ranked AS (
+            SELECT event_id AS doc_id,
+                   'shard' || (user_id % 3)::VARCHAR AS provider,
+                   row_number() OVER (
+                       PARTITION BY 'shard' || (user_id % 3)::VARCHAR
+                       ORDER BY value DESC, event_id) AS rank
+            FROM events QUALIFY rank <= 100
+        )
+        SELECT doc_id AS event_id,
+               round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+               count(DISTINCT provider) AS n_providers,
+               string_agg(DISTINCT provider, ',' ORDER BY provider) AS providers
+        FROM ranked GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id
+    """
+
+    sqls["scroll_points"] = """
+        SELECT doc_id, md5(text) AS payload_hash
+        FROM documents ORDER BY doc_id LIMIT 50 OFFSET 100
+    """
+
+    sqls["unique_counts"] = """
+        SELECT lang, count(DISTINCT source) AS n_sources,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+    sqls["language_expand"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   ['py', 'pyw', 'js', 'go'][(doc_id % 4) + 1] AS ext
+            FROM documents
+        )
+        SELECT doc_id, ext FROM d
+        WHERE ext IN ('py', 'pyw', 'pyi')
+        ORDER BY doc_id
     """
 
     sqls["merge_upsert"] = """

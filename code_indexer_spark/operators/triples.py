@@ -139,6 +139,46 @@ def extract_triples_fused(pages: DataFrame, alias_bc) -> DataFrame:
     )
 
 
+def mentions_fused(pages: DataFrame, alias_bc) -> DataFrame:
+    """Fused extract + chunk + mention-detect + link: html -> mention
+    rows in ONE mapInPandas pass (same kernels as
+    mentions_stage(chunk_stage(extract_stage(pages))); one Arrow round
+    trip instead of three — the html/extracted text never re-crosses
+    the JVM/Python boundary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.chunker import chunk_text
+        from ..kernel.embed import embed_text
+        from ..kernel.extract import extract_text
+
+        idx = None
+        for pdf in batches:
+            if idx is None:
+                idx = _index_of(alias_bc)
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text(html)
+                for c in chunk_text(text, 1000):
+                    ments = idx.detect_mentions(c["text"])
+                    if not ments:
+                        continue
+                    ctx = embed_text(c["text"])
+                    for pos, norm, _ in ments:
+                        linked = idx.link(norm, None, ctx)
+                        if linked is None:
+                            continue
+                        eid, score, cands = linked
+                        rows.append((url, int(c["chunk_index"]), pos, norm,
+                                     eid, round(score, 6), cands))
+            yield pd.DataFrame(
+                rows, columns=["url", "chunk_index", "token_pos",
+                               "alias_norm", "entity_id", "link_score",
+                               "entity_id_candidates"],
+            )
+
+    return pages.select("url", "html").mapInPandas(run, schema=MENTION_SCHEMA)
+
+
 def mentions_stage(chunks: DataFrame, alias_bc) -> DataFrame:
     """chunks -> mentions(url, chunk_index, token_pos, alias_norm,
     entity_id, link_score, entity_id_candidates).

@@ -82,15 +82,42 @@ def build_raw_triples(spark: SparkSession, kg_dir: str,
 
 
 def build_mentions(spark: SparkSession, kg_dir: str) -> DataFrame:
+    """Fused one-pass path; build_mentions_staged keeps the 3-stage
+    chain for intermediate inspection."""
+    from ..operators.triples import mentions_fused
+
+    alias_bc = broadcast_alias_rows(spark, read_alias(spark, kg_dir))
+    pages = read_pages(spark, kg_dir, for_udf=True)
+    return mentions_fused(pages, alias_bc)
+
+
+def build_mentions_staged(spark: SparkSession, kg_dir: str) -> DataFrame:
     alias_bc = broadcast_alias_rows(spark, read_alias(spark, kg_dir))
     pages = read_pages(spark, kg_dir, for_udf=True)
     return mentions_stage(chunk_stage(extract_stage(pages)), alias_bc)
 
 
+# (session-id, kg_dir) -> persisted mapping DataFrame. The mapping is
+# O(#entities) (tiny next to triples) and identical for every query in
+# a session, so compute it once and persist — the reference's
+# collection-metadata cache analog (filesystem_vector_store.py:307-426).
+_MAPPING_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def cached_canonical_mapping(spark: SparkSession, kg_dir: str) -> DataFrame:
+    key = (id(spark), kg_dir)
+    m = _MAPPING_CACHE.get(key)
+    if m is None:
+        m = canonical_mapping(read_entities(spark, kg_dir)).persist()
+        m.count()
+        _MAPPING_CACHE[key] = m
+    return m
+
+
 def build_canonical_triples(spark: SparkSession, kg_dir: str,
                             pages: DataFrame | None = None) -> DataFrame:
     raw = build_raw_triples(spark, kg_dir, pages=pages)
-    mapping = canonical_mapping(read_entities(spark, kg_dir))
+    mapping = cached_canonical_mapping(spark, kg_dir)
     return apply_canonical(raw, mapping)
 
 

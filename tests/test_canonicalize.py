@@ -66,3 +66,26 @@ def test_large_star_small_star_chain_and_star(spark):
          for r in large_star_small_star(edges).collect()}
     assert {m[n] for n in "bcde"} == {"a"}
     assert m["y"] == m["z"] == "x"
+
+
+def test_star_loop_equals_union_find(spark, kg_small):
+    """The distributed large-star/small-star path must produce the
+    exact mapping the driver union-find path produces (the dispatcher
+    picks by size; both must be interchangeable)."""
+    from code_indexer_spark.operators.canonicalize import (
+        connected_components, large_star_small_star, verified_edges)
+    from code_indexer_spark.plans.pipeline import read_entities
+
+    edges = verified_edges(read_entities(spark, kg_small))
+    # normalize: the star graph has no identity row for component roots
+    # (canonical_mapping coalesces those); union-find emits (root, root)
+    def nonid(rows):
+        return {(r.entity_id, r.canonical_id) for r in rows
+                if r.entity_id != r.canonical_id}
+
+    star = nonid(large_star_small_star(edges).collect())
+    # threshold=0 forces the star loop; threshold=inf forces union-find
+    uf = nonid(connected_components(edges, threshold=0).collect())
+    uf2 = nonid(connected_components(edges, threshold=10**9).collect())
+    assert star == uf == uf2
+    assert len(star) > 0

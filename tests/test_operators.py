@@ -187,3 +187,19 @@ def test_fused_chunks_equals_staged(spark, kg_small):
     staged = build_chunks_staged(spark, kg_small)
     assert fused.count() == staged.count() > 0
     assert value_hash(fused) == value_hash(staged)
+
+
+def test_fused_mentions_equals_staged(spark, kg_small):
+    """mentions_fused must equal the staged chain exactly."""
+    from code_indexer_spark.plans.pipeline import (
+        build_mentions, build_mentions_staged)
+
+    def key_set(df):
+        return {(r.url, r.chunk_index, r.token_pos, r.alias_norm,
+                 r.entity_id, r.link_score, tuple(r.entity_id_candidates))
+                for r in df.collect()}
+
+    fused = key_set(build_mentions(spark, kg_small))
+    staged = key_set(build_mentions_staged(spark, kg_small))
+    assert fused == staged
+    assert len(fused) > 0
