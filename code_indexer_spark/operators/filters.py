@@ -98,6 +98,63 @@ def build_filter(spec: dict) -> Column:
     return expr
 
 
+def detect_filter_conflicts(spec: dict) -> list[str]:
+    """F10 filter-conflict detection (filter_conflict_detector.py
+    semantics): analysis-time validation on the driver, before any job
+    runs. Returns human-readable conflict strings (empty = valid).
+
+    Detected classes:
+    - same key required equal to X in `must` and excluded in `must_not`;
+    - `must` equality on two different values for the same key;
+    - empty-range contradiction (gte > lte / gt >= lt) on one key;
+    - `must` value outside a `must` range on the same key.
+    """
+    conflicts: list[str] = []
+    eq: dict[str, list] = {}
+    ranges: dict[str, dict] = {}
+    not_eq: dict[str, list] = {}
+
+    def walk(s: dict) -> None:
+        for c in s.get("must", []):
+            if any(k in c for k in ("must", "should", "must_not")):
+                walk(c)
+                continue
+            k = c.get("key")
+            if "match" in c and "value" in c["match"]:
+                eq.setdefault(k, []).append(c["match"]["value"])
+            if "range" in c:
+                r = ranges.setdefault(k, {})
+                for b, v in c["range"].items():
+                    r[b] = v
+        for c in s.get("must_not", []):
+            if "match" in c and "value" in c.get("match", {}):
+                not_eq.setdefault(c["key"], []).append(c["match"]["value"])
+
+    walk(spec)
+    for k, vals in eq.items():
+        if len(set(map(repr, vals))) > 1:
+            conflicts.append(f"must requires {k} equal to multiple values: {vals}")
+        for v in vals:
+            if v in not_eq.get(k, []):
+                conflicts.append(f"{k}={v!r} both required and excluded")
+            r = ranges.get(k)
+            if r and isinstance(v, (int, float)):
+                lo_ok = ("gte" not in r or v >= r["gte"]) and \
+                        ("gt" not in r or v > r["gt"])
+                hi_ok = ("lte" not in r or v <= r["lte"]) and \
+                        ("lt" not in r or v < r["lt"])
+                if not (lo_ok and hi_ok):
+                    conflicts.append(f"{k}={v!r} outside its own must-range {r}")
+    for k, r in ranges.items():
+        lo = r.get("gte", r.get("gt"))
+        hi = r.get("lte", r.get("lt"))
+        if lo is not None and hi is not None:
+            strict = "gt" in r or "lt" in r
+            if lo > hi or (strict and lo >= hi):
+                conflicts.append(f"empty range on {k}: {r}")
+    return conflicts
+
+
 # F8: friendly language name -> extension set (language_mapper.py:29-60)
 LANGUAGE_MAP = {
     "python": ["py", "pyw", "pyi"],

@@ -203,3 +203,29 @@ def test_fused_mentions_equals_staged(spark, kg_small):
     staged = key_set(build_mentions_staged(spark, kg_small))
     assert fused == staged
     assert len(fused) > 0
+
+
+def test_filter_conflict_detection():
+    """F10: contradictory specs detected before any job runs."""
+    from code_indexer_spark.operators.filters import detect_filter_conflicts
+
+    assert detect_filter_conflicts({
+        "must": [{"key": "a", "match": {"value": 1}}],
+        "must_not": [{"key": "a", "match": {"value": 1}}],
+    })
+    assert detect_filter_conflicts({
+        "must": [{"key": "a", "match": {"value": 1}},
+                 {"key": "a", "match": {"value": 2}}],
+    })
+    assert detect_filter_conflicts({
+        "must": [{"key": "v", "range": {"gte": 10, "lt": 5}}],
+    })
+    assert detect_filter_conflicts({
+        "must": [{"key": "v", "match": {"value": 100}},
+                 {"key": "v", "range": {"lt": 50}}],
+    })
+    assert detect_filter_conflicts({
+        "must": [{"key": "v", "range": {"gte": 5, "lt": 50}},
+                 {"key": "t", "match": {"value": "x"}}],
+        "must_not": [{"key": "t", "match": {"value": "y"}}],
+    }) == []
