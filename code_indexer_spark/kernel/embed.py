@@ -47,12 +47,23 @@ def projection_matrix(
     return _matrix_cache[key]
 
 
+_bucket_cache: dict[str, tuple[int, float]] = {}
+_BUCKET_CACHE_MAX = 1_000_000  # bound per-worker memory at web scale
+
+
 def _token_bucket(token: str) -> tuple[int, float]:
-    """(bucket, sign) from md5 — stable feature hashing."""
-    d = hashlib.md5(token.encode("utf-8")).digest()
-    bucket = int.from_bytes(d[:4], "big") % _HASH_DIM
-    sign = 1.0 if d[4] & 1 else -1.0
-    return bucket, sign
+    """(bucket, sign) from md5 — stable feature hashing. Memoized per
+    worker: natural-language token frequency is Zipfian, so the cache
+    hit rate is high and the md5 disappears from the hot loop (pure
+    function, so caching cannot affect determinism)."""
+    v = _bucket_cache.get(token)
+    if v is None:
+        d = hashlib.md5(token.encode("utf-8")).digest()
+        v = (int.from_bytes(d[:4], "big") % _HASH_DIM,
+             1.0 if d[4] & 1 else -1.0)
+        if len(_bucket_cache) < _BUCKET_CACHE_MAX:
+            _bucket_cache[token] = v
+    return v
 
 
 def tokenize(text: str) -> list[str]:

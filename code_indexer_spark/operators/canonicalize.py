@@ -195,12 +195,20 @@ def connected_components(edges: DataFrame,
     distributed star loop runs, at bench scale the driver union-find
     collapses ~20 scheduler round trips into one collect."""
     edges = edges.select("src", "dst").distinct()
-    n = edges.count()
-    if n > threshold:
-        return large_star_small_star(edges)
+    edges.persist()  # one materialization serves both count and collect
+    try:
+        n = edges.count()
+        if n > threshold:
+            return large_star_small_star(edges)
+        return _driver_union_find(edges)
+    finally:
+        edges.unpersist()
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
     parent: dict[str, str] = {}
 
-    def find(x: str) -> str:
+    def find(x: str) -> str:  # path-halving union-find
         r = x
         while parent.get(r, r) != r:
             r = parent[r]

@@ -173,8 +173,7 @@ def run_pipeline(spark: SparkSession, kg_dir: str, out_dir: str) -> dict:
 
     Returns row counts per table (also observed via Spark metrics)."""
     entities = read_entities(spark, kg_dir)
-    mapping = canonical_mapping(entities)
-    mapping.persist()
+    mapping = cached_canonical_mapping(spark, kg_dir)
 
     raw = build_raw_triples(spark, kg_dir)
     triples = apply_canonical(raw, mapping)
@@ -188,9 +187,11 @@ def run_pipeline(spark: SparkSession, kg_dir: str, out_dir: str) -> dict:
         f"{out_dir}/edges.parquet"
     )
     chunks = build_chunks(spark, kg_dir)
-    chunks.write.mode("overwrite").partitionBy("vbucket").parquet(
-        f"{out_dir}/chunks.parquet"
-    )
+    # repartition on the partition column first: one file per bucket
+    # instead of (tasks x buckets) tiny files — at 100 TB this is the
+    # difference between 65k and millions of output files
+    chunks.repartition(F.col("vbucket")).write.mode("overwrite") \
+        .partitionBy("vbucket").parquet(f"{out_dir}/chunks.parquet")
     counts = {
         "triples": spark.read.parquet(f"{out_dir}/triples.parquet").count(),
         "nodes": spark.read.parquet(f"{out_dir}/nodes.parquet").count(),
@@ -198,5 +199,5 @@ def run_pipeline(spark: SparkSession, kg_dir: str, out_dir: str) -> dict:
         "chunks": spark.read.parquet(f"{out_dir}/chunks.parquet").count(),
     }
     triples.unpersist()
-    mapping.unpersist()
+    # mapping stays persisted — it is the session-scoped cache
     return counts

@@ -48,26 +48,37 @@ def get_spark(
     else:
         cores = os.cpu_count() or 8
     min_partitions = str(4 * cores)
-    b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", shuffle_partitions)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.sql.session.timeZone", "UTC")
+    b = SparkSession.builder.appName(app_name).master(master) \
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.files.maxPartitionBytes", "64m")
-        .config("spark.sql.files.minPartitionNum", min_partitions)
-        # default 4 MB open-cost floors the split count on ~100 MB bench
-        # inputs; at real scale files are GB-sized and this is a no-op
-        .config("spark.sql.files.openCostInBytes", "262144")
-        .config("spark.ui.enabled", "false")
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")) \
+        .config("spark.ui.enabled", "false") \
         .config("spark.driver.host", "127.0.0.1")
-    )
+    for k, v in engine_conf(shuffle_partitions, cores).items():
+        b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def engine_conf(shuffle_partitions: str | None = None,
+                cores: int | None = None) -> dict[str, str]:
+    """The engine's SQL/Arrow tuning, master-agnostic — shared by
+    get_spark (local) and the spark-submit job entry points (cluster),
+    so the submitted job gets identical plans."""
+    cores = cores or os.cpu_count() or 8
+    return {
+        "spark.sql.shuffle.partitions":
+            shuffle_partitions or os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.files.maxPartitionBytes": "64m",
+        "spark.sql.files.minPartitionNum": str(4 * cores),
+        # default 4 MB open-cost floors the split count on ~100 MB bench
+        # inputs; at real scale files are GB-sized and this is a no-op
+        "spark.sql.files.openCostInBytes": "262144",
+    }
