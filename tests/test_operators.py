@@ -229,3 +229,24 @@ def test_filter_conflict_detection():
                  {"key": "t", "match": {"value": "x"}}],
         "must_not": [{"key": "t", "match": {"value": "y"}}],
     }) == []
+
+
+def test_edge_salting_spreads_hot_subject(spark):
+    """North rule: salted head-entity keys. A hot subject's edges must
+    spread across multiple salt buckets while staying reconstructible
+    (split(salted_key,'#')[0] == subj)."""
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.plans.pipeline import EDGE_SALT_BUCKETS, build_edges
+
+    rows = [("HOT", f"p{i % 7}", f"o{i}", f"u{i}", "R0", 0.9)
+            for i in range(200)]
+    triples = spark.createDataFrame(
+        rows, ["subj", "pred", "obj", "src_url", "rule_id", "confidence"])
+    edges = build_edges(triples)
+    got = edges.select(
+        "salted_key",
+        F.split("salted_key", "#").getItem(0).alias("recovered")).collect()
+    assert all(r.recovered == "HOT" for r in got)
+    n_buckets = len({r.salted_key.split("#")[1] for r in got})
+    assert 1 < n_buckets <= EDGE_SALT_BUCKETS
