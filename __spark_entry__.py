@@ -186,6 +186,18 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, queries, k=10)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN (deterministic coarse quantizer + inverted lists);
+    approximate — rows-only like ann_lsh."""
+    from code_indexer_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=10)
+
+
 def q_rrf_fusion(spark, sf_dir):
     from code_indexer_spark.operators.fusion import add_rank, fuse_rrf
 
@@ -668,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "rrf_fusion": q_rrf_fusion,
         "score_gate": q_score_gate,
         "fuse_multiply": q_fuse_multiply,

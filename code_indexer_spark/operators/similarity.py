@@ -104,6 +104,69 @@ def lsh_bucket_expr(vec_col: str, n_planes: int = N_PLANES, dim: int = 64):
     return out
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer + inverted lists.
+
+    Scale path beyond LSH: assign every vector to its nearest centroid
+    (broadcast centroid table, JVM-side dot products), then probe only
+    the n_probe nearest lists per query — the scan shrinks by
+    ~n_centroids/n_probe. Centroids are a deterministic id-stratified
+    sample (every (n/n_centroids)-th row by id rank), so the index is
+    reproducible with no iterative training job; at 100 TB the same
+    plan holds with KMeans-refined centroids swapped in.
+
+    Returns (query_id, neighbor_id, rank, sim) — approximate: recall
+    depends on n_probe/n_centroids (rows-only check, like ann_lsh).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    ranked = emb.select(F.col(id_col), F.col(vec_col),
+                        F.row_number().over(w).alias("_rn"))
+    n = ranked.count()
+    stride = max(n // n_centroids, 1)
+    centroids = (
+        ranked.filter((F.col("_rn") - 1) % stride == 0)
+        .limit(n_centroids)
+        .select(F.col("_rn").alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"))
+    )
+
+    def nearest(df, key, vcol, top):
+        j = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "_sim", cosine_expr(F.col(vcol), F.col("centroid_vec")))
+        ww = Window.partitionBy(key).orderBy(
+            F.desc("_sim"), F.asc("centroid_id"))
+        return (
+            j.withColumn("_cr", F.row_number().over(ww))
+            .filter(F.col("_cr") <= top)
+            .select(df.columns + [F.col("centroid_id").alias("list_id")])
+        )
+
+    assigned = nearest(emb.select(id_col, vec_col), id_col, vec_col, 1)
+    probed = nearest(queries.select("query_id", "query_vec"),
+                     "query_id", "query_vec", n_probe)
+
+    cand = probed.join(assigned, "list_id")
+    sim = cosine_expr(F.col("query_vec"), F.col(vec_col))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.withColumn("sim", F.round(sim, 4))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "sim")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -79,6 +79,59 @@ def run_available_now(stream_df: DataFrame, out_dir: str,
     return q
 
 
+def stateful_site_counts(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-site running page count + last-seen timestamp, carried across
+    micro-batches in managed state (GroupState).
+
+    This is the reference's watch-mode pending/accumulated bookkeeping
+    (git_aware_watch_handler.py:49-60 pending set; progressive-metadata
+    per-branch counters) as a first-class Spark stateful operator —
+    state survives restarts through the checkpoint, giving the same
+    resume behavior as watch_metadata.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+    from pyspark.sql.types import (
+        LongType as _L, StringType as _S, StructField as _F,
+        StructType as _T, TimestampType as _TS,
+    )
+
+    out_schema = _T([
+        _F("site", _S()), _F("n_pages_total", _L()),
+        _F("n_batches", _L()), _F("last_warc_ts", _TS()),
+    ])
+    state_schema = _T([_F("n_pages", _L()), _F("n_batches", _L())])
+
+    def update(key, pdfs, state: GroupState):
+        n_new = 0
+        last_ts = None
+        for pdf in pdfs:
+            n_new += len(pdf)
+            m = pdf["warc_ts"].max()
+            last_ts = m if last_ts is None else max(last_ts, m)
+        if state.exists:
+            n_pages, n_batches = state.get
+        else:
+            n_pages, n_batches = 0, 0
+        n_pages += n_new
+        n_batches += 1
+        state.update((n_pages, n_batches))
+        yield pd.DataFrame({
+            "site": [key[0]], "n_pages_total": [n_pages],
+            "n_batches": [n_batches], "last_warc_ts": [last_ts],
+        })
+
+    import pyspark.sql.functions as F2
+
+    sited = pages_stream.withColumn(
+        "site", F2.regexp_extract("url", r"https?://([^/]+)/", 1))
+    return sited.groupBy("site").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="update", timeoutConf="NoTimeout",
+    )
+
+
 def windowed_page_rates(pages_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-window ingest metrics (the reference's 30 s
     rolling throughput window, vector_calculation_manager.py:229-232,

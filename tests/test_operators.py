@@ -250,3 +250,24 @@ def test_edge_salting_spreads_hot_subject(spark):
     assert all(r.recovered == "HOT" for r in got)
     n_buckets = len({r.salted_key.split("#")[1] for r in got})
     assert 1 < n_buckets <= EDGE_SALT_BUCKETS
+
+
+def test_ivf_topk_recall(spark, sf001_dir="/root/testdata/sf0.001"):
+    """IVF ANN: top-1 neighbor matches brute force for most queries
+    (deterministic centroids, n_probe=4/16)."""
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    exact = {(r.query_id, r.neighbor_id) for r in
+             brute_force_topk(emb, queries, k=1).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in
+              ivf_topk(emb, queries, k=1).collect()}
+    assert len(approx) == len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall

@@ -100,3 +100,42 @@ def test_windowed_rates_watermark(spark, kg_small, pages_stream_dir,
     rows = spark.read.parquet(out).collect()
     # pages are 137 s apart -> each 30 s window holds <= 1 page per lang
     assert rows and all(r["n_pages"] == 1 for r in rows)
+
+
+def test_stateful_site_counts(spark, kg_small, pages_stream_dir, tmp_path):
+    """applyInPandasWithState: per-site running counts accumulate across
+    micro-batches; final totals equal the batch groupBy."""
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.streaming.watch import (
+        read_pages_stream, stateful_site_counts)
+
+    counts = stateful_site_counts(
+        read_pages_stream(spark, pages_stream_dir, max_files_per_trigger=1))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("site_counts")
+        .option("checkpointLocation", str(tmp_path / "sck"))
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per (site, batch); the LAST row per site
+    # carries the running total -> must equal the batch count
+    got = (
+        spark.table("site_counts")
+        .groupBy("site")
+        .agg(F.max("n_pages_total").alias("n"),
+             F.max("n_batches").alias("nb"))
+    )
+    expect = (
+        spark.read.parquet(f"{kg_small}/pages.parquet")
+        .withColumn("site", F.regexp_extract("url", r"https?://([^/]+)/", 1))
+        .groupBy("site").agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = got.join(expect.withColumnRenamed("n", "n_expect"), "site").collect()
+    assert j and all(r.n == r.n_expect for r in j)
+    # ran as 4 micro-batches -> sites seen in >1 batch carried state
+    assert any(r.n_batches > 1 for r in
+               spark.table("site_counts").select("n_batches").collect())
