@@ -640,6 +640,27 @@ def kg_triples(spark, sf_dir):
     return build_canonical_triples(spark, _kg_dir(sf_dir))
 
 
+def kg_search(spark, sf_dir):
+    """§3.2 semantic search lifecycle over the chunks table (exact
+    profile; rows-only — the Arrow-UDF embedding is not SQL)."""
+    from code_indexer_spark.plans.pipeline import build_chunks
+    from code_indexer_spark.plans.search import semantic_search
+
+    chunks = build_chunks(spark, _kg_dir(sf_dir))
+    return semantic_search(
+        chunks, "Report on partners and acquisitions", k=10,
+        filter_spec={"must": [{"key": "lang", "match": {"value": "en"}}]})
+
+
+def kg_hybrid_search(spark, sf_dir):
+    """A2 FTS ∥ semantic RRF merge (rows-only)."""
+    from code_indexer_spark.plans.pipeline import build_chunks
+    from code_indexer_spark.plans.search import hybrid_search
+
+    chunks = build_chunks(spark, _kg_dir(sf_dir))
+    return hybrid_search(chunks, "partners", k=10)
+
+
 def kg_nodes(spark, sf_dir):
     from code_indexer_spark.operators.canonicalize import canonical_mapping
     from code_indexer_spark.plans.pipeline import (
@@ -718,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunks": kg_chunks,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
+        "kg_search": kg_search,
+        "kg_hybrid_search": kg_hybrid_search,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
     }
