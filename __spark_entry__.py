@@ -661,6 +661,22 @@ def kg_hybrid_search(spark, sf_dir):
     return hybrid_search(chunks, "partners", k=10)
 
 
+def kg_time_range(spark, sf_dir):
+    """§3.3 temporal path: time-range predicate on warc_ts (partition-
+    prunable at scale: days(warc_ts) Iceberg transform) -> triples from
+    just that slice (rows-only)."""
+    import pyspark.sql.functions as F2
+
+    from code_indexer_spark.plans.pipeline import (
+        build_raw_triples, read_pages)
+
+    kg = _kg_dir(sf_dir)
+    pages = read_pages(spark, kg, for_udf=True).filter(
+        (F2.col("warc_ts") >= F2.lit("2025-01-01"))
+        & (F2.col("warc_ts") < F2.lit("2025-01-02")))
+    return build_raw_triples(spark, kg, pages=pages)
+
+
 def kg_nodes(spark, sf_dir):
     from code_indexer_spark.operators.canonicalize import canonical_mapping
     from code_indexer_spark.plans.pipeline import (
@@ -740,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
         "kg_search": kg_search,
+        "kg_time_range": kg_time_range,
         "kg_hybrid_search": kg_hybrid_search,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,

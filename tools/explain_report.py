@@ -28,6 +28,8 @@ REPORT_QUERIES = [
     "embedding_dup_pairs",  # higher-order functions, JVM-side
     "best_event_per_user",  # window dedup
     "kg_triples",           # Arrow UDF stage + broadcast mapping joins
+    "kg_search",            # codegen cosine scoring over literal query vec
+    "kg_time_range",        # warc_ts predicate pushed below the UDF stage
 ]
 
 
