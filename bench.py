@@ -66,10 +66,16 @@ def main() -> None:
     extras: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        df = queries[name](spark, sf_dir)
-        n = df.count()
-        dt = time.monotonic() - t0
+        # best-of-2: the first run warms Python workers / page cache, the
+        # better run is the steady-state number — the same warm-executor
+        # protocol as tools/bench_scaling.py (the shared sandbox host has
+        # measured 2x slow windows; see BENCH.md)
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = queries[name](spark, sf_dir)
+            n = df.count()
+            dt = min(dt, time.monotonic() - t0)
         timings[name] = round(dt, 3)
         total += dt
         if name == "kg_triples":
