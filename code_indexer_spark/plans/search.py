@@ -114,9 +114,12 @@ def keyword_search(
     """FTS analog: case-insensitive containment, ranked by term
     frequency then position (tantivy_index_manager.py:658 semantics,
     without a separate index — the scan IS the index at rest)."""
+    import re
+
     needle = query_text.lower()
+    # escape: the query is a literal term, not a regex
     tf = (F.length(F.lower("text"))
-          - F.length(F.regexp_replace(F.lower("text"), needle, ""))
+          - F.length(F.regexp_replace(F.lower("text"), re.escape(needle), ""))
           ) / max(len(needle), 1)
     return (
         chunks.filter(F.lower("text").contains(needle))

@@ -75,3 +75,14 @@ def test_keyword_and_hybrid_search(spark, chunks):
     # hybrid keys must come from one of the branches
     kw_keys = {(r.url, r.chunk_index) for r in kw}
     assert any((r.url, r.chunk_index) in kw_keys for r in hy)
+
+
+def test_keyword_search_literal_metachars(spark, chunks):
+    """A query containing regex metacharacters is treated literally."""
+    from code_indexer_spark.plans.search import keyword_search
+
+    rows = keyword_search(chunks, "€100 at the café", k=5).collect()
+    # fixture pages include '"Budget approx €100 at the café résumé desk."'
+    assert rows and all("€100" in (r.snippet or "") for r in rows)
+    # and a pure-metachar query must not blow up / match everything
+    assert keyword_search(chunks, "a.*b(", k=5).count() == 0
