@@ -97,15 +97,17 @@ def build_mentions_staged(spark: SparkSession, kg_dir: str) -> DataFrame:
     return mentions_stage(chunk_stage(extract_stage(pages)), alias_bc)
 
 
-# (session-id, kg_dir) -> persisted mapping DataFrame. The mapping is
-# O(#entities) (tiny next to triples) and identical for every query in
-# a session, so compute it once and persist — the reference's
+# (applicationId, kg_dir) -> persisted mapping DataFrame. The mapping
+# is O(#entities) (tiny next to triples) and identical for every query
+# in a session, so compute it once and persist — the reference's
 # collection-metadata cache analog (filesystem_vector_store.py:307-426).
-_MAPPING_CACHE: dict[tuple[int, str], DataFrame] = {}
+# applicationId (not id(spark)) so a recycled object address can never
+# serve a DataFrame from a stopped session.
+_MAPPING_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def cached_canonical_mapping(spark: SparkSession, kg_dir: str) -> DataFrame:
-    key = (id(spark), kg_dir)
+    key = (spark.sparkContext.applicationId, kg_dir)
     m = _MAPPING_CACHE.get(key)
     if m is None:
         m = canonical_mapping(read_entities(spark, kg_dir)).persist()
