@@ -357,10 +357,14 @@ def q_session_windows(spark, sf_dir):
     per user via lag + cumulative session counter (S10 analog)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp(F.col("ts"))
-    gap = epoch - F.lag(epoch).over(w)
+    # exact integer microseconds, not unix_timestamp(): every fixture ts
+    # carries sub-second parts, so whole-second truncation misclassifies
+    # gaps straddling the 1800 s boundary (matches the oracle's epoch())
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
     sessed = e.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0)
     ).withColumn("session_no", F.sum("new_sess").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
     return (
@@ -527,8 +531,7 @@ def q_merge_clean_orphans(spark, sf_dir):
     source = d.filter(F.col("doc_id") % 5 == 0).select(
         "doc_id", F.lit(0).alias("chunk_index"),
         F.md5(F.concat_ws("#", "doc_id", F.lit("re"))).alias("h"))
-    return merge_upsert_clean_orphans(
-        target, source, ["doc_id", "chunk_index"], ["doc_id"])
+    return merge_upsert_clean_orphans(target, source, ["doc_id"])
 
 
 def q_incremental_scan(spark, sf_dir):
@@ -631,7 +634,11 @@ def kg_chunks(spark, sf_dir):
 def kg_mentions(spark, sf_dir):
     from code_indexer_spark.plans.pipeline import build_mentions
 
-    return build_mentions(spark, _kg_dir(sf_dir))
+    # array_join: the driver's canonical sort can't factorize array
+    # cells; the real pipeline table keeps entity_id_candidates as
+    # array<string> — only this check projection flattens it
+    return build_mentions(spark, _kg_dir(sf_dir)).withColumn(
+        "entity_id_candidates", F.array_join("entity_id_candidates", ","))
 
 
 def kg_triples(spark, sf_dir):

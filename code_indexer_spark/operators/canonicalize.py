@@ -225,8 +225,10 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[hi] = lo
     nodes = {r["src"] for r in rows} | {r["dst"] for r in rows}
     mapping = [(x, find(x)) for x in sorted(nodes)]
+    # explicit schema: createDataFrame([]) cannot infer one, and a clean
+    # input (no verified duplicate pairs) legitimately yields zero edges
     return edges.sparkSession.createDataFrame(
-        mapping, ["entity_id", "canonical_id"])
+        mapping, "entity_id string, canonical_id string")
 
 
 def canonical_mapping(entities: DataFrame) -> DataFrame:

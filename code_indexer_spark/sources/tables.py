@@ -75,12 +75,14 @@ def merge_upsert(target: DataFrame, source: DataFrame,
 
 
 def merge_upsert_clean_orphans(
-    target: DataFrame, source: DataFrame, key_cols: list[str],
-    scope_cols: list[str],
+    target: DataFrame, source: DataFrame, scope_cols: list[str],
 ) -> DataFrame:
-    """S6 + orphan cleanup: like merge_upsert, but *within the scoped
-    groups the source touches* (e.g. the urls being re-indexed), target
-    rows with no matching source key are DROPPED — the reference's
+    """S6 + orphan cleanup: full replace *within the scoped groups the
+    source touches* (e.g. the urls being re-indexed) — every in-scope
+    target row is dropped and the source rows stand in. This equals
+    MERGE (UPDATE matched + INSERT new + NOT-MATCHED-BY-SOURCE DELETE
+    scoped to the touched groups) because source rows fully replace
+    matched rows, so no per-key match is needed. The reference's
     per-file orphan-point deletion (filesystem_vector_store.py:1148-1241)
     / Iceberg's WHEN NOT MATCHED BY SOURCE THEN DELETE with a scope
     predicate. Outside the touched scope the target is untouched."""

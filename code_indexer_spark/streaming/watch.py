@@ -101,25 +101,36 @@ def stateful_site_counts(pages_stream: DataFrame) -> DataFrame:
         _F("site", _S()), _F("n_pages_total", _L()),
         _F("n_batches", _L()), _F("last_warc_ts", _TS()),
     ])
-    state_schema = _T([_F("n_pages", _L()), _F("n_batches", _L())])
+    # last_ts_us lives IN the state (epoch micros): a later micro-batch
+    # holding only older timestamps must not regress the last-seen mark
+    state_schema = _T([_F("n_pages", _L()), _F("n_batches", _L()),
+                       _F("last_ts_us", _L())])
 
     def update(key, pdfs, state: GroupState):
         n_new = 0
-        last_ts = None
+        batch_ts = None
         for pdf in pdfs:
             n_new += len(pdf)
             m = pdf["warc_ts"].max()
-            last_ts = m if last_ts is None else max(last_ts, m)
+            batch_ts = m if batch_ts is None else max(batch_ts, m)
         if state.exists:
-            n_pages, n_batches = state.get
+            n_pages, n_batches, last_us = state.get
         else:
-            n_pages, n_batches = 0, 0
+            n_pages, n_batches, last_us = 0, 0, None
+        batch_us = (None if batch_ts is None
+                    else int(pd.Timestamp(batch_ts).value // 1000))
+        if last_us is None:
+            last_us = batch_us
+        elif batch_us is not None:
+            last_us = max(last_us, batch_us)
         n_pages += n_new
         n_batches += 1
-        state.update((n_pages, n_batches))
+        state.update((n_pages, n_batches, last_us))
         yield pd.DataFrame({
             "site": [key[0]], "n_pages_total": [n_pages],
-            "n_batches": [n_batches], "last_warc_ts": [last_ts],
+            "n_batches": [n_batches],
+            "last_warc_ts": [None if last_us is None
+                             else pd.Timestamp(last_us * 1000)],
         })
 
     import pyspark.sql.functions as F2

@@ -89,3 +89,22 @@ def test_star_loop_equals_union_find(spark, kg_small):
     uf2 = nonid(connected_components(edges, threshold=10**9).collect())
     assert star == uf == uf2
     assert len(star) > 0
+
+
+def test_empty_edges_clean_input(spark):
+    """A clean entity set (no verified duplicate pairs) must yield an
+    empty mapping, not CANNOT_INFER_EMPTY_SCHEMA, on BOTH CC paths —
+    canonical_mapping then returns pure identity rows."""
+    from code_indexer_spark.operators.canonicalize import (
+        canonical_mapping, connected_components)
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    for threshold in (0, 10**9):
+        got = connected_components(empty, threshold=threshold).collect()
+        assert got == []
+
+    ents = spark.createDataFrame(
+        [("e1", "Alpha Corp", "org"), ("e2", "Totally Different Llc", "org")],
+        ["entity_id", "canonical_name", "entity_type"])
+    m = {r.entity_id: r.canonical_id for r in canonical_mapping(ents).collect()}
+    assert m == {"e1": "e1", "e2": "e2"}

@@ -30,7 +30,7 @@ def test_merge_clean_orphans_scoped_delete(spark):
         ["doc", "chunk", "v"])
     source = spark.createDataFrame([(10, 0, "a2")], ["doc", "chunk", "v"])
     got = {(r.doc, r.chunk, r.v) for r in merge_upsert_clean_orphans(
-        target, source, ["doc", "chunk"], ["doc"]).collect()}
+        target, source, ["doc"]).collect()}
     assert got == {(10, 0, "a2"), (20, 0, "c"), (20, 1, "d")}
 
 

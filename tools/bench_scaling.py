@@ -109,7 +109,10 @@ def main() -> None:
         "triples_per_sec_4N": best["4N"]["triples_per_sec"],
         "scaling_efficiency": best["eff"],
         "scaling_efficiency_median": med_eff,
-        "passes_0_8_gate": best["eff"] >= 0.8,
+        # the GATE is the median: one lucky drift window among the pairs
+        # must not flip it; best-pair is reported for context only
+        "passes_0_8_gate": med_eff >= 0.8,
+        "passes_0_8_gate_best_pair": best["eff"] >= 0.8,
         "measured_at": datetime.now(timezone.utc).isoformat(),
     }
     os.makedirs(os.path.join(ROOT, "data"), exist_ok=True)
@@ -144,8 +147,8 @@ mirroring the reference's two-worker >= 1.7x gate
 Input: `{kg}` — {best['N']['n_pages']} pages,
 {best['N']['n_triples']} triples.
 
-**Scaling efficiency: best {best['eff']}, median {med_eff}
-(gate >= 0.8: {'PASS' if best['eff'] >= 0.8 else 'FAIL'})**
+**Scaling efficiency: median {med_eff} (gate >= 0.8:
+{'PASS' if med_eff >= 0.8 else 'FAIL'}); best pair {best['eff']}**
 
 Measured {summary['measured_at']}.
 """)
