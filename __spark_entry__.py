@@ -166,6 +166,51 @@ def q_embedding_dup_pairs(spark, sf_dir):
                                threshold=0.35)
 
 
+def _emb_corpus(spark, sf_dir):
+    """embeddings + planted near-duplicates: every 5th vector gets a
+    copy (vec_id+100000) with a deterministic ±10% per-component
+    rational perturbation (cos ≈ 0.998 to its source; the fixture's
+    random-pair max is 0.44) — known duplicates for the near-dup
+    operators to find, mirroring _corpus for text dedup."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    # two-step projection: the lambda must see the ORIGINAL vec_id (a
+    # same-select alias of vec_id+100000 would capture the new value)
+    pert = emb.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.1 * (
+                (F.pmod(F.col("vec_id") + i, F.lit(7)) - 3) / 3.0)),
+        ).alias("embedding"),
+    ).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return emb.unionByName(pert)
+
+
+_EMB_CORPUS_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(range(64),
+               i -> embedding[i + 1]::DOUBLE
+                    * (1.0 + 0.1 * ((((vec_id + i) % 7) - 3) / 3.0)))
+               AS embedding
+    FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+def q_embedding_dup_pairs_lsh(spark, sf_dir):
+    """The 100 TB near-dup path: banded hyperplane LSH blocking + exact
+    in-bucket cosine at duplicate-level threshold (0.9) over the
+    planted-duplicate corpus. Recall on the planted pairs is pinned by
+    tests/test_operators.py; at this threshold the banded OR-construction
+    recalls every planted pair, so the exact brute-force SQL is the
+    oracle."""
+    from code_indexer_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(_emb_corpus(spark, sf_dir), threshold=0.9)
+
+
 def q_ann_topk(spark, sf_dir):
     from code_indexer_spark.operators.similarity import brute_force_topk
 
@@ -196,6 +241,20 @@ def q_ann_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_topk(emb, queries, k=10)
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall gate for the approximate ANN variants (rows-only: LSH
+    bucketing isn't SQL): recall@10 vs brute force + planted near-dup
+    self-recall@1. tests/test_operators.py::test_ann_recall_gates pins
+    planted >= 0.9 and the probe-sweep monotonicity."""
+    from code_indexer_spark.operators.similarity import recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return recall_report(emb, queries, k=10)
 
 
 def q_rrf_fusion(spark, sf_dir):
@@ -660,11 +719,16 @@ def kg_search(spark, sf_dir):
 
 
 def kg_hybrid_search(spark, sf_dir):
-    """A2 FTS ∥ semantic RRF merge (rows-only)."""
+    """A2 FTS ∥ semantic RRF merge (rows-only).
+
+    The chunks stage is persisted first: both branches scan it, and
+    without staging the fused extract+chunk+embed UDF would run twice
+    (in production hybrid search reads the materialized chunks table at
+    rest, exactly this shape)."""
     from code_indexer_spark.plans.pipeline import build_chunks
     from code_indexer_spark.plans.search import hybrid_search
 
-    chunks = build_chunks(spark, _kg_dir(sf_dir))
+    chunks = build_chunks(spark, _kg_dir(sf_dir)).persist()
     return hybrid_search(chunks, "partners", k=10)
 
 
@@ -722,9 +786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
         "rrf_fusion": q_rrf_fusion,
         "score_gate": q_score_gate,
         "fuse_multiply": q_fuse_multiply,
@@ -937,6 +1003,16 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 4) >= 0.35
+    """
+
+    sqls["embedding_dup_pairs_lsh"] = f"""
+        WITH corpus AS ({_EMB_CORPUS_SQL})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding,
+                                            b.embedding), 4) AS sim
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding,
+                                           b.embedding), 4) >= 0.9
     """
 
     sqls["ann_topk"] = """

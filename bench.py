@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     # dedup / similarity suite (driver tables)
     "minhash_lsh_pairs",
     "jaccard_pairs",
-    "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
     "ann_topk",
     # fusion / windows / scans
     "rrf_fusion",

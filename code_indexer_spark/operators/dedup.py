@@ -194,3 +194,63 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def embedding_dup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.5,
+                            n_bands: int = 4,
+                            planes_per_band: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH — the
+    100 TB path (the crossJoin above is the pytest oracle only).
+
+    OR-construction over n_bands independent 8-plane sign signatures:
+    two vectors are candidates iff they share a bucket in ANY band, so
+    a true duplicate (cos ~ 1) is recalled with prob 1-(1-p^8)^4 where
+    p = 1-θ/π — ~1.0 for exact copies, ~0.9 at cos 0.95. Candidates
+    get exact cosine rescoring, so precision is exact; only recall is
+    approximate (tests pin it against the brute-force oracle).
+
+    Shuffle shape: the band explode is narrow; the self-join shuffles
+    O(n·bands) slim (id, band, bucket) rows on (band, bucket); the
+    distinct candidate set is O(near-dups); vectors re-join by id for
+    rescoring. No stage is O(n²).
+    """
+    from .similarity import lsh_bucket_expr
+
+    bands = emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket_expr(vec_col, planes_per_band,
+                                plane_offset=b * planes_per_band)
+                .alias("bucket"),
+            )
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x))
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                    norm(F.col(vec_col)).alias("na"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                    norm(F.col(vec_col)).alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -81,12 +81,14 @@ def semantic_search(
         scored = scored.filter(F.col("score") >= score_threshold)
     if filter_spec:
         scored = scored.filter(build_filter(filter_spec))
-    # over-fetch 2x then exact-order (prefetch_limit semantics)
-    w = Window.orderBy(F.desc("score"), F.asc("url"), F.asc("chunk_index"))
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # top-k on the map side, merge of k-row heaps on the driver — never
+    # a single-partition global sort. (A row_number() window with no
+    # partitionBy would funnel every scored row through ONE task; the
+    # reference's prefetch_limit over-fetch is subsumed because filters
+    # already ran above, so the exact top-k IS the answer.)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 2 * k)
-        .orderBy(F.desc("score"), F.asc("url"), F.asc("chunk_index"))
+        scored.orderBy(F.desc("score"), F.asc("url"), F.asc("chunk_index"))
         .limit(k)
         .select("url", "chunk_index", "score", "text")
     )
