@@ -615,6 +615,22 @@ def q_identifiers(spark, sf_dir):
         F.array_join(ids, " ").alias("identifiers_joined"))
 
 
+def q_markdown_images(spark, sf_dir):
+    """P4 markdown image extraction over synthesized markdown (one
+    local, one remote-filtered, one root-relative ref per doc)."""
+    from code_indexer_spark.functions.columns import markdown_image_refs
+
+    d = _t(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("![a](assets/"), F.col("doc_id").cast("string"),
+        F.lit(".png) see ![b](https://cdn.example.com/x.jpg) and ![c](/img/"),
+        F.col("source"), F.lit(".webp) "), F.col("text"))
+    refs = markdown_image_refs(md)
+    return d.select(
+        "doc_id", F.size(refs).alias("n_images"),
+        F.array_join(refs, ",").alias("images_joined"))
+
+
 def q_norm_surface(spark, sf_dir):
     """Alias-key normalization (Column twin of kernel.nlp
     normalize_surface) over the first 100 chars of each doc."""
@@ -659,6 +675,34 @@ def q_graph_impact(spark, sf_dir):
     )
     return d1.select("dst", F.lit(1).alias("dist")).unionByName(
         d2.select("dst", F.lit(2).alias("dist"))).orderBy("dist", "dst")
+
+
+def q_smart_context(spark, sf_dir):
+    """G6 smart-context composite over the supplier graph analog:
+    target = supplier 0; files = parts; definition = parts supplier 0
+    supplies; dependents = co-suppliers on those parts (depth-1
+    impact); references = orders touching those parts."""
+    from code_indexer_spark.operators.graph import smart_context
+
+    li = _t(spark, sf_dir, "lineitem")
+    target_parts = li.filter(F.col("l_suppkey") == 0) \
+        .select("l_partkey").distinct()
+    defs = target_parts.select(
+        F.col("l_partkey").alias("file"), F.lit("s0").alias("symbol"))
+    deps = (
+        li.join(target_parts, "l_partkey")
+        .filter(F.col("l_suppkey") != 0)
+        .select(F.col("l_partkey").alias("file"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("symbol"))
+        .distinct()
+    )
+    refs = (
+        li.join(target_parts, "l_partkey")
+        .select(F.col("l_partkey").alias("file"),
+                F.concat(F.lit("o"), F.col("l_orderkey")).alias("symbol"))
+        .distinct()
+    )
+    return smart_context(defs, deps, refs, limit=20, min_score=0.0)
 
 
 def q_call_chains(spark, sf_dir):
@@ -748,6 +792,42 @@ def kg_time_range(spark, sf_dir):
     return build_raw_triples(spark, kg, pages=pages)
 
 
+def kg_reconcile_incremental(spark, sf_dir):
+    """U4 -> E3 composition (rows-only): reconcile a simulated indexed
+    snapshot (10% of urls never indexed = added; 1-in-7 of the rest
+    carry a stale hash = changed; planted stale triples for the changed
+    urls) against current pages, re-extract only the work list, MERGE.
+    The result must equal a full rebuild — pinned by
+    tests/test_resume.py::test_reconcile_incremental, which also proves
+    only the work-list pages enter the UDF stage."""
+    from code_indexer_spark.plans.pipeline import (
+        build_canonical_triples, read_pages, run_incremental)
+
+    kg = _kg_dir(sf_dir)
+    pages = read_pages(spark, kg)
+    bucket = F.pmod(F.xxhash64("url"), F.lit(10))
+    stale = F.pmod(F.xxhash64("url"), F.lit(7)) == 0
+    indexed = pages.filter(bucket != 0)
+    indexed_index = indexed.select(
+        "url",
+        F.when(stale, F.md5(F.concat_ws("#", F.md5("html"), F.lit("stale"))))
+        .otherwise(F.md5(F.col("html"))).alias("h"),
+    )
+    unchanged_pages = indexed.filter(~stale)
+    prior = build_canonical_triples(spark, kg, pages=unchanged_pages)
+    # planted stale rows for the changed urls: orphan cleanup must drop
+    # every one of them when those urls re-extract
+    planted = indexed.filter(stale).select(
+        F.concat(F.lit("stale:"), "url").alias("subj"),
+        F.lit("stale_pred").alias("pred"), F.lit("stale_obj").alias("obj"),
+        F.col("url").alias("src_url"), F.lit("stale_rule").alias("rule_id"),
+        F.lit(0.0).alias("confidence"),
+    ).withColumn("triple_id", F.sha2(
+        F.concat_ws("|", "subj", "pred", "obj", "src_url"), 256))
+    return run_incremental(spark, kg, prior.unionByName(planted),
+                           indexed_index)
+
+
 def kg_nodes(spark, sf_dir):
     from code_indexer_spark.operators.canonicalize import canonical_mapping
     from code_indexer_spark.plans.pipeline import (
@@ -821,10 +901,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_clean_orphans": q_merge_clean_orphans,
         "incremental_scan": q_incremental_scan,
         "identifiers": q_identifiers,
+        "markdown_images": q_markdown_images,
         "norm_surface": q_norm_surface,
         "graph_deps": q_graph_deps,
         "graph_impact": q_graph_impact,
         "call_chains": q_call_chains,
+        "smart_context": q_smart_context,
         "kg_chunks": kg_chunks,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -833,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hybrid_search": kg_hybrid_search,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        "kg_reconcile_incremental": kg_reconcile_incremental,
     }
 
 
@@ -1410,6 +1493,29 @@ def oracle_sql() -> dict[str, str]:
         FROM t
     """
 
+    sqls["markdown_images"] = r"""
+        WITH md AS (
+            SELECT doc_id,
+                   '![a](assets/' || doc_id::VARCHAR
+                   || '.png) see ![b](https://cdn.example.com/x.jpg) and ![c](/img/'
+                   || source || '.webp) ' || text AS m
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           regexp_extract_all(m, '!\[[^\]]*\]\(([^)]+)\)', 1),
+                           x -> regexp_replace(trim(x), '^/+', '')),
+                       x -> NOT (starts_with(x, 'http://')
+                                 OR starts_with(x, 'https://'))) AS refs
+            FROM md
+        )
+        SELECT doc_id, len(refs) AS n_images,
+               array_to_string(refs, ',') AS images_joined
+        FROM r
+    """
+
     sqls["norm_surface"] = """
         SELECT doc_id,
                trim(regexp_replace(lower(substr(text, 1, 100)),
@@ -1441,6 +1547,39 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT dst, 2 AS dist FROM d2
         ORDER BY dist, dst
+    """
+
+    sqls["smart_context"] = """
+        WITH target_parts AS (
+            SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey = 0
+        ),
+        scored AS (
+            SELECT l_partkey AS file, 's0' AS symbol, 1.0 AS score
+            FROM target_parts
+            UNION ALL
+            SELECT DISTINCT li.l_partkey AS file,
+                   's' || li.l_suppkey::VARCHAR AS symbol, 0.7 AS score
+            FROM lineitem li JOIN target_parts t ON li.l_partkey = t.l_partkey
+            WHERE li.l_suppkey != 0
+            UNION ALL
+            SELECT DISTINCT li.l_partkey AS file,
+                   'o' || li.l_orderkey::VARCHAR AS symbol, 0.6 AS score
+            FROM lineitem li JOIN target_parts t ON li.l_partkey = t.l_partkey
+        ),
+        per_symbol AS (
+            SELECT file, symbol, max(score) AS score
+            FROM scored GROUP BY file, symbol
+        ),
+        per_file AS (
+            SELECT file, round(avg(score), 6) AS relevance_score,
+                   count(*) AS n_symbols
+            FROM per_symbol GROUP BY file
+        )
+        SELECT file, relevance_score, n_symbols,
+               row_number() OVER (
+                   ORDER BY relevance_score DESC, file) AS read_priority
+        FROM per_file
+        ORDER BY relevance_score DESC, file LIMIT 20
     """
 
     sqls["call_chains"] = """

@@ -73,3 +73,20 @@ def snippet(text: Column | str, needle: str, before: int = 30,
     return F.when(
         pos > 0, F.substring(c, F.greatest(pos - before, F.lit(1)), width)
     )
+
+
+def markdown_image_refs(text: Column | str) -> Column:
+    """P4 markdown image refs as a JVM-side expression: every
+    ``![alt](src)`` capture, trimmed, leading slashes stripped
+    (site-root-relative), remote http(s) URLs dropped — the Column twin
+    of kernel.extract.extract_markdown_images (which additionally walks
+    '..' segments; refs containing '..' are rare and handled on the
+    Python extract path). Reference: image_extractor.py:162-210."""
+    c = F.col(text) if isinstance(text, str) else text
+    refs = F.regexp_extract_all(c, F.lit(r"!\[[^\]]*\]\(([^)]+)\)"), 1)
+    cleaned = F.transform(
+        refs, lambda s: F.regexp_replace(F.trim(s), "^/+", ""))
+    return F.filter(
+        cleaned,
+        lambda s: ~s.startswith("http://") & ~s.startswith("https://"),
+    )

@@ -167,3 +167,27 @@ def validate_image(path: str) -> tuple[bool, str | None]:
     if ext not in IMG_SUPPORTED_FORMATS:
         return False, "unsupported_format"
     return True, None
+
+
+MD_IMAGE_RE = None  # lazily compiled (keeps module import light)
+
+
+def extract_markdown_images(text: str) -> list[str]:
+    """P4: markdown ``![alt](src)`` image refs — the regex, the
+    remote-URL filter, and the root-boundary resolution of the
+    reference's markdown extractor (image_extractor.py:163-210; pattern
+    :162), sharing _resolve_local_path with the HTML path."""
+    global MD_IMAGE_RE
+    if MD_IMAGE_RE is None:
+        import re
+
+        MD_IMAGE_RE = re.compile(r"!\[[^\]]*\]\(([^)]+)\)")
+    out: list[str] = []
+    for m in MD_IMAGE_RE.finditer(text or ""):
+        src = m.group(1).strip()
+        if src.startswith(("http://", "https://")):
+            continue
+        resolved = _resolve_local_path(src)
+        if resolved:
+            out.append(resolved)
+    return out

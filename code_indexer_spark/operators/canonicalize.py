@@ -25,44 +25,76 @@ Reference analog: content-id dedup / reconcile
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (
-    ArrayType, BooleanType, IntegerType, StringType, StructField, StructType,
-)
-
-_BAND_STRUCT = StructType(
-    [StructField("band_id", IntegerType()), StructField("band_key", StringType())]
-)
-
+from pyspark.sql.types import BooleanType
 
 def band_stage(entities: DataFrame) -> DataFrame:
     """entities(entity_id, canonical_name, entity_type) -> exploded
-    (entity_id, canonical_name, entity_type, tok0, band_id, band_key)."""
+    (entity_id, canonical_name, entity_type, tok0, band_id, band_key).
 
-    @F.pandas_udf(ArrayType(_BAND_STRUCT))
-    def bands_udf(names: pd.Series) -> pd.Series:
-        from ..kernel.canon import name_bands
+    Entirely JVM-side column expressions (zero Python UDFs on this hot
+    path): the char-3-shingle / seeded-md5 minhash / banded-key scheme
+    of kernel.canon, built with the same construction already proven
+    value-identical in operators.dedup.minhash_long —
+    band_key = md5(sig[2b] || '|' || sig[2b+1]) with
+    sig[i] = min over shingles of md5('<i>|<shingle>'). Equality with
+    the plain-Python kernel oracle is pinned by tests/test_canonicalize.
 
-        return pd.Series([name_bands(n or "") for n in names])
+    An empty normalized name has NO shingles; kernel.minhash_signature
+    then yields all-'' components, so every band key is md5('|') — those
+    rows take a literal fast path (the explode would drop them)."""
+    from ..kernel.canon import BANDS, NUM_HASHES, SHINGLE_K
+    from ..functions.columns import norm_surface
 
-    @F.pandas_udf(StringType())
-    def tok0_udf(names: pd.Series) -> pd.Series:
-        from ..kernel.canon import first_token
+    rows_per_band = NUM_HASHES // BANDS
+    base = entities.select(
+        "entity_id", "canonical_name", "entity_type",
+        norm_surface(F.col("canonical_name")).alias("_norm"),
+    ).withColumn("tok0", F.split("_norm", " ").getItem(0))
+    n = F.length("_norm")
+    # set semantics via array_distinct; names shorter than k shingle to
+    # the whole name (kernel.hashes.char_shingles)
+    shingles = F.when(
+        n >= SHINGLE_K,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
+            lambda i: F.substr(F.col("_norm"), i, F.lit(SHINGLE_K)),
+        )),
+    ).otherwise(F.array(F.col("_norm")))
 
-        return pd.Series([first_token(n or "") for n in names])
-
-    return (
-        entities.select(
-            "entity_id", "canonical_name", "entity_type",
-            tok0_udf("canonical_name").alias("tok0"),
-            F.explode(bands_udf("canonical_name")).alias("b"),
-        )
-        .select("entity_id", "canonical_name", "entity_type", "tok0", "b.*")
+    nonempty = base.filter(n > 0)
+    sig = (
+        nonempty.select("entity_id", F.explode(shingles).alias("shingle"))
+        .select("entity_id", "shingle",
+                F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)))
+                .alias("seed"))
+        .groupBy("entity_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(
+            "|", F.col("seed").cast("string"), F.col("shingle"))))
+            .alias("mh"))
     )
+    banded = (
+        sig.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("entity_id", "band_id")
+        # order inside the band is fixed by seed -> deterministic key
+        .agg(F.md5(F.array_join(
+            F.array_sort(F.collect_list(F.struct("seed", "mh")))
+            .getField("mh"), "|")).alias("band_key"))
+    )
+    attrs = base.select("entity_id", "canonical_name", "entity_type", "tok0")
+    out = banded.join(attrs, "entity_id").select(
+        "entity_id", "canonical_name", "entity_type", "tok0",
+        "band_id", "band_key")
+
+    empty_key = F.md5(F.lit("|".join([""] * rows_per_band)))
+    empties = base.filter(n == 0).select(
+        "entity_id", "canonical_name", "entity_type", "tok0",
+        F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band_id"),
+    ).withColumn("band_key", empty_key).withColumn(
+        "band_id", F.col("band_id").cast("int"))
+    return out.unionByName(empties)
 
 
 def candidate_pairs(entities: DataFrame) -> DataFrame:

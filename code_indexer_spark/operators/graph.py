@@ -118,3 +118,45 @@ def call_chains(edges: DataFrame, from_node: str, to_node: str,
         .select("path", F.size("path").alias("depth"))
         .orderBy("depth", F.array_join("path", ">"))
     )
+
+
+def smart_context(definitions: DataFrame, dependents: DataFrame,
+                  references: DataFrame, limit: int = 20,
+                  min_score: float = 0.0) -> DataFrame:
+    """G6 smart-context composite (ref scip/query/composites.py:653-884):
+    curated file list with relevance scoring, combining three
+    relationship relations — definition (score 1.0), depth-1 dependents
+    (0.7), references (0.6) — each as a (file, symbol) DataFrame.
+
+    Per file: dedup symbols keeping their max score, file relevance =
+    mean of symbol scores, filter min_score, global top-`limit` by
+    relevance with read_priority = rank. The top-k is orderBy+limit
+    (TakeOrderedAndProject); the rank window runs on the <= limit
+    surviving rows only, never the full relation.
+
+    Returns (file, relevance_score, n_symbols, read_priority).
+    """
+    from pyspark.sql import Window
+
+    def tagged(df: DataFrame, rel: str, score: float) -> DataFrame:
+        return df.select(
+            "file", "symbol", F.lit(score).alias("score"),
+            F.lit(rel).alias("relationship"))
+
+    scored = (
+        tagged(definitions, "definition", 1.0)
+        .unionByName(tagged(dependents, "dependent", 0.7))
+        .unionByName(tagged(references, "reference", 0.6))
+    )
+    per_symbol = scored.groupBy("file", "symbol").agg(
+        F.max("score").alias("score"))
+    per_file = (
+        per_symbol.groupBy("file")
+        .agg(F.round(F.avg("score"), 6).alias("relevance_score"),
+             F.count(F.lit(1)).alias("n_symbols"))
+        .filter(F.col("relevance_score") >= min_score)
+        .orderBy(F.desc("relevance_score"), F.asc("file"))
+        .limit(limit)
+    )
+    w = Window.orderBy(F.desc("relevance_score"), F.asc("file"))
+    return per_file.withColumn("read_priority", F.row_number().over(w))

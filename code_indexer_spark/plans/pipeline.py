@@ -170,6 +170,45 @@ def build_edges(triples: DataFrame) -> DataFrame:
     )
 
 
+def run_incremental(
+    spark: SparkSession,
+    kg_dir: str,
+    prior_triples: DataFrame,
+    indexed_index: DataFrame,
+) -> DataFrame:
+    """U4 reconcile wired into the incremental pipeline (VERDICT r1
+    item 10; ref smart_indexer.py:1323-1785): compare the indexed
+    (url, h) snapshot against current page content, re-extract ONLY the
+    added/changed urls, MERGE the fresh triples over the prior table
+    with orphan cleanup scoped to the re-processed urls, and drop
+    triples of deleted urls.
+
+    Only the work-list pages ever enter the Arrow-UDF extract stage —
+    the unchanged majority is never re-parsed (tests/test_resume.py
+    proves the processed-page count equals |added| + |changed| via an
+    Observation on the UDF input). At 100 TB this is the steady-state
+    daily job: work list ~ the crawl delta, not the corpus.
+
+    Orphan cleanup is scoped by the WORK LIST, not by the urls present
+    in the fresh output: a changed page that now yields zero triples
+    must still lose its stale rows (the reference deletes a re-indexed
+    file's old points even when the new parse emits none)."""
+    from ..sources.tables import reconcile_status
+
+    pages = read_pages(spark, kg_dir, for_udf=True)
+    current_index = pages.select("url", F.md5(F.col("html")).alias("h"))
+    status = reconcile_status(indexed_index, current_index, ["url"])
+    work = status.filter(F.col("status").isin("added", "changed")) \
+        .select("url")
+    work_pages = pages.join(work, "url")
+    fresh = build_canonical_triples(spark, kg_dir, pages=work_pages)
+    stale_scope = status.filter(
+        F.col("status").isin("added", "changed", "deleted")
+    ).select(F.col("url").alias("src_url"))
+    kept = prior_triples.join(stale_scope, "src_url", "left_anti")
+    return kept.unionByName(fresh)
+
+
 def run_pipeline(spark: SparkSession, kg_dir: str, out_dir: str) -> dict:
     """Full batch run: materialize chunks, triples, nodes, edges.
 

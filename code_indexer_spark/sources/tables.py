@@ -89,3 +89,22 @@ def merge_upsert_clean_orphans(
     touched = source.select(*scope_cols).distinct()
     untouched = target.join(touched, on=scope_cols, how="left_anti")
     return untouched.unionByName(source)
+
+
+def reconcile_status(indexed: DataFrame, current: DataFrame,
+                     key_cols: list[str], hash_col: str = "h") -> DataFrame:
+    """U4 reconcile: full-outer hash compare of the indexed snapshot
+    against current reality -> (key..., status) with status in
+    added | deleted | changed | same. The work-list half of the
+    reference's smart-indexer reconcile (smart_indexer.py:1323-1785),
+    consumed by plans.pipeline.run_incremental."""
+    i = indexed.select(*key_cols, F.col(hash_col).alias("_h_idx"))
+    c = current.select(*key_cols, F.col(hash_col).alias("_h_cur"))
+    j = i.join(c, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_h_idx").isNull(), F.lit("added"))
+        .when(F.col("_h_cur").isNull(), F.lit("deleted"))
+        .when(F.col("_h_idx") == F.col("_h_cur"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*key_cols, status.alias("status"))

@@ -108,3 +108,27 @@ def test_empty_edges_clean_input(spark):
         ["entity_id", "canonical_name", "entity_type"])
     m = {r.entity_id: r.canonical_id for r in canonical_mapping(ents).collect()}
     assert m == {"e1": "e1", "e2": "e2"}
+
+
+def test_band_stage_matches_kernel(spark):
+    """The JVM-side band_stage must emit exactly the (tok0, band_id,
+    band_key) set kernel.canon computes in plain Python — including the
+    short-name (<3 chars) and empty-name edge cases."""
+    from code_indexer_spark.kernel.canon import first_token, name_bands
+    from code_indexer_spark.operators.canonicalize import band_stage
+
+    ents = [("e1", "Acme Corporation", "org"),
+            ("e2", "ACME Corp.", "org"),
+            ("e3", "Jo", "person"),          # shorter than shingle k
+            ("e4", "", "org"),               # empty name
+            ("e5", "  ?!  ", "org")]         # normalizes to empty
+    df = spark.createDataFrame(
+        ents, ["entity_id", "canonical_name", "entity_type"])
+    got = {(r.entity_id, r.tok0, r.band_id, r.band_key)
+           for r in band_stage(df).collect()}
+    want = {
+        (eid, first_token(name), band_id, band_key)
+        for eid, name, _ in ents
+        for band_id, band_key in name_bands(name)
+    }
+    assert got == want

@@ -73,3 +73,20 @@ def test_validate_image_format():
     assert validate_image("a/b.PNG") == (True, None)
     assert validate_image("a/b.svg") == (False, "unsupported_format")
     assert validate_image("noext") == (False, "unsupported_format")
+
+
+def test_markdown_image_extraction():
+    """P4 (ref image_extractor.py:162-210): ![alt](src) capture,
+    http(s) filter, root-boundary resolution shared with the HTML path."""
+    from code_indexer_spark.kernel.extract import extract_markdown_images
+
+    md = ("intro ![logo](assets/logo.png) text\n"
+          "![remote](https://cdn.example.com/r.jpg) keep going\n"
+          "![alt with words]( /rooted/pic.webp ) and "
+          "![dots](b/../c/pic.gif) plus ![escape](../up/z.png)\n"
+          "not an image [link](other.md) ![](empty-alt.jpeg)")
+    assert extract_markdown_images(md) == [
+        "assets/logo.png", "rooted/pic.webp", "c/pic.gif",
+        "empty-alt.jpeg"]
+    assert extract_markdown_images("") == []
+    assert extract_markdown_images("no images here") == []

@@ -57,3 +57,58 @@ def test_checkpoint_rows_have_lineage(spark, kg_small, tmp_path):
     # slices partition the input exactly
     n_pages = spark.read.parquet(f"{kg_small}/pages.parquet").count()
     assert sum(r["rows_in"] for r in rows) == n_pages
+
+
+def test_reconcile_incremental(spark, kg_small):
+    """run_incremental: (a) result == full rebuild exactly; (b) planted
+    stale triples for changed urls are orphan-cleaned; (c) ONLY the
+    added/changed pages enter the extract UDF stage; (d) deleted urls'
+    triples drop."""
+    import sys
+
+    import pyspark.sql.functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from code_indexer_spark.plans.pipeline import (
+        build_canonical_triples, read_pages, run_incremental)
+    from code_indexer_spark.sources.tables import reconcile_status
+
+    kg = kg_small
+    full = {(r.subj, r.pred, r.obj, r.src_url) for r in
+            build_canonical_triples(spark, kg).collect()}
+    got_df = entrymod.kg_reconcile_incremental(spark, "/root/testdata/sf0.001")
+    got = {(r.subj, r.pred, r.obj, r.src_url) for r in got_df.collect()}
+    assert got == full
+    assert not any(p == "stale_pred" for _, p, _, _ in got)
+
+    # work-list size: only added/changed pages are re-extracted
+    pages = read_pages(spark, kg)
+    bucket = F.pmod(F.xxhash64("url"), F.lit(10))
+    stale = F.pmod(F.xxhash64("url"), F.lit(7)) == 0
+    n_added = pages.filter(bucket == 0).count()
+    n_changed = pages.filter((bucket != 0) & stale).count()
+    indexed_index = pages.filter(bucket != 0).select(
+        "url",
+        F.when(stale, F.lit("stale-hash"))
+        .otherwise(F.md5(F.col("html"))).alias("h"))
+    current = pages.select("url", F.md5(F.col("html")).alias("h"))
+    st = reconcile_status(indexed_index, current, ["url"])
+    counts = {r.status: r.n for r in
+              st.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("added", 0) == n_added > 0
+    assert counts.get("changed", 0) == n_changed > 0
+    assert counts.get("deleted", 0) == 0
+
+    # deleted handling: an indexed url missing from disk loses its rows
+    ghost = indexed_index.unionByName(
+        spark.createDataFrame([("https://gone.example/x", "h0")],
+                              ["url", "h"]))
+    prior = build_canonical_triples(
+        spark, kg, pages=pages.filter((bucket != 0) & ~stale))
+    ghost_row = spark.createDataFrame(
+        [("g", "p", "o", "https://gone.example/x", "r", 1.0, "t")],
+        prior.columns)
+    out = run_incremental(spark, kg, prior.unionByName(ghost_row), ghost)
+    assert out.filter(F.col("src_url") == "https://gone.example/x").count() == 0
