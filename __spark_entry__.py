@@ -532,6 +532,18 @@ def q_scroll_points(spark, sf_dir):
     return page
 
 
+def q_point_get(spark, sf_dir):
+    """S5 single-point get (ref filesystem_vector_store.py:2086):
+    exact-key lookup as a pruned scan — the predicate reaches the
+    parquet reader as PushedFilters (min/max row-group skipping; on the
+    Iceberg layout, partition + file pruning), so the 'get' touches one
+    row group, not the table. Batched key-set form: isin."""
+    d = _t(spark, sf_dir, "documents")
+    keys = [7, 42, 123]
+    return d.filter(F.col("doc_id").isin(keys)).select(
+        "doc_id", "source", "lang", F.md5("text").alias("payload_hash"))
+
+
 def q_unique_counts(spark, sf_dir):
     """A13 unique-file counting: distinct sources + docs per lang."""
     d = _t(spark, sf_dir, "documents")
@@ -895,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "rrf_multi_shard": q_rrf_multi_shard,
         "scroll_points": q_scroll_points,
+        "point_get": q_point_get,
         "unique_counts": q_unique_counts,
         "language_expand": q_language_expand,
         "merge_upsert": q_merge_upsert,
@@ -1426,6 +1439,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["scroll_points"] = """
         SELECT doc_id, md5(text) AS payload_hash
         FROM documents ORDER BY doc_id LIMIT 50 OFFSET 100
+    """
+
+    sqls["point_get"] = """
+        SELECT doc_id, source, lang, md5(text) AS payload_hash
+        FROM documents WHERE doc_id IN (7, 42, 123)
     """
 
     sqls["unique_counts"] = """

@@ -25,8 +25,11 @@ REPORT_QUERIES = [
     "incremental_scan",     # watermark predicate pushdown
     "glob_filter",          # rlike + contains pushdown
     "minhash_lsh_pairs",    # shuffle-heavy self-join
-    "embedding_dup_pairs",  # higher-order functions, JVM-side
+    "embedding_dup_pairs_lsh",  # banded LSH blocking (the scale path)
+    "point_get",            # S5 exact-key pruned scan
     "best_event_per_user",  # window dedup
+    "ann_ivf",              # sampled centroids — no global sort
+    "smart_context",        # G6 composite, TakeOrderedAndProject
     "kg_triples",           # Arrow UDF stage + broadcast mapping joins
     "kg_search",            # codegen cosine scoring over literal query vec
     "kg_time_range",        # warc_ts predicate pushed below the UDF stage
