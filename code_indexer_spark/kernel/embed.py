@@ -93,8 +93,16 @@ def embed_text(text: str) -> np.ndarray:
 
 
 def cosine(a: np.ndarray, b: np.ndarray) -> float:
-    """Cosine for unit vectors = dot product; float32 accumulate."""
-    return float(np.float32(np.dot(a.astype(np.float32), b.astype(np.float32))))
+    """Cosine for unit vectors = dot product; float32 accumulate.
+
+    The astype is a no-op (skipped) when inputs are already float32 —
+    the hot-path callers always pass embed_text outputs, and the copy
+    was ~40% of link()'s rerank cost."""
+    if a.dtype != np.float32:
+        a = a.astype(np.float32)
+    if b.dtype != np.float32:
+        b = b.astype(np.float32)
+    return float(np.float32(np.dot(a, b)))
 
 
 # --- vector-space bucketing (the reference's partition scheme) ------------

@@ -106,7 +106,17 @@ RULES: list[Rule] = [
     for j, (p, pred, st, ot) in enumerate(_RULE_SPECS)
 ]
 
+_RULES_BY_ID: dict[str, Rule] = {r.rule_id: r for r in RULES}
+
 _TRAIL_PUNCT_RE = re.compile(r"[.!?,;:]+$")
+
+# (needle, first_word, rule) precomputed once: the needle " phrase "
+# requires the phrase's first word to appear as a space-bounded token,
+# so membership in the sentence's word set is a NECESSARY condition —
+# an exact prefilter that skips ~95% of the 40 find() calls per sentence
+_RULES_PRE: list[tuple[str, str, Rule]] = [
+    (f" {r.phrase} ", r.phrase.split(" ", 1)[0], r) for r in RULES
+]
 
 
 def match_rules(sentence: str) -> list[tuple[str, str, str, str]]:
@@ -116,8 +126,10 @@ def match_rules(sentence: str) -> list[tuple[str, str, str, str]]:
     phrase must appear with surrounding spaces; subject = text before it,
     object = text after it with trailing punctuation stripped.
     """
-    for rule in RULES:
-        needle = f" {rule.phrase} "
+    words = set(sentence.split(" "))
+    for needle, first_word, rule in _RULES_PRE:
+        if first_word not in words:
+            continue
         pos = sentence.find(needle)
         if pos <= 0:
             continue
@@ -231,7 +243,7 @@ def extract_triples_from_text(
     embedding-reranked) -> [(subj_id, pred, obj_id, rule_id, confidence)].
     """
     out: list[tuple[str, str, str, str, float]] = []
-    rules_by_id = {r.rule_id: r for r in RULES}
+    rules_by_id = _RULES_BY_ID
     for sent in split_sentences(text):
         for subj_sfc, pred, obj_sfc, rule_id in match_rules(sent):
             rule = rules_by_id[rule_id]
