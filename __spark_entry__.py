@@ -127,6 +127,23 @@ def q_chunk_fixed(spark, sf_dir):
     )
 
 
+def q_chunk_smart(spark, sf_dir):
+    """P2 legacy smart chunker (rows-only: line-aware greedy packing +
+    fragment merge is pinned by tests/test_chunker.py, not SQL)."""
+    from code_indexer_spark.operators.extract import smart_chunk_stage
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text").alias("text_extracted")
+    ).withColumn("url", F.col("doc_id").cast("string")) \
+     .withColumn("warc_ts", F.to_timestamp(F.lit("2025-01-01"))) \
+     .withColumn("lang", F.lit("en"))
+    ch = smart_chunk_stage(docs, chunk_size=200)
+    return ch.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "chunk_index", "total_chunks", "size", "line_start", "line_end",
+        "content_hash")
+
+
 def q_dedup_exact(spark, sf_dir):
     from code_indexer_spark.operators.dedup import exact_dupes
 
@@ -292,6 +309,23 @@ def q_fuse_average(spark, sf_dir):
     from code_indexer_spark.operators.fusion import fuse_average
 
     return fuse_average(_scored_docs(spark, sf_dir)).select("doc_id", "fused")
+
+
+def q_provider_parallel(spark, sf_dir):
+    """E6 parallel dual-provider query: both branches in one plan,
+    over-fetch 2x limit (capped 40), RRF fusion
+    (query_strategy.py:344-379 semantics)."""
+    from code_indexer_spark.plans.providers import execute_parallel
+
+    d = _t(spark, sf_dir, "documents")
+    primary = lambda: d.select(  # noqa: E731
+        "doc_id", (F.col("n_chars") / 1000.0).alias("score"))
+    secondary = lambda: d.select(  # noqa: E731
+        "doc_id",
+        (F.pmod(F.col("doc_id") * 37 + 11, F.lit(100)) / 100.0)
+        .alias("score"))
+    return execute_parallel(primary, secondary, fusion="rrf", limit=20) \
+        .select("doc_id", "rrf_score", "n_providers", "providers")
 
 
 def q_best_event_per_user(spark, sf_dir):
@@ -872,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "chunk_fixed": q_chunk_fixed,
+        "chunk_smart": q_chunk_smart,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
@@ -887,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_gate": q_score_gate,
         "fuse_multiply": q_fuse_multiply,
         "fuse_average": q_fuse_average,
+        "provider_parallel": q_provider_parallel,
         "best_event_per_user": q_best_event_per_user,
         "multi_index_merge": q_multi_index_merge,
         "shard_merge_topk": q_shard_merge_topk,
@@ -1189,6 +1225,30 @@ def oracle_sql() -> dict[str, str]:
                    ((CASE WHEN mx > mn THEN (score_b - mn)/(mx - mn) ELSE 0.5 END) + 0.5) / 2.0
                END, 6) AS fused
         FROM s, pool
+    """
+
+    sqls["provider_parallel"] = """
+        WITH pa AS (
+            SELECT doc_id, 'primary' AS provider,
+                   row_number() OVER (
+                       ORDER BY n_chars / 1000.0 DESC, doc_id) AS rank
+            FROM documents QUALIFY rank <= 40
+        ),
+        pb AS (
+            SELECT doc_id, 'secondary' AS provider,
+                   row_number() OVER (
+                       ORDER BY ((doc_id * 37 + 11) % 100) / 100.0 DESC,
+                                doc_id) AS rank
+            FROM documents QUALIFY rank <= 40
+        ),
+        u AS (SELECT * FROM pa UNION ALL SELECT * FROM pb)
+        SELECT doc_id,
+               round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+               count(DISTINCT provider) AS n_providers,
+               string_agg(DISTINCT provider, ',' ORDER BY provider)
+                   AS providers
+        FROM u GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT 20
     """
 
     sqls["best_event_per_user"] = """

@@ -219,3 +219,47 @@ def incremental_anti_join(
         on=["url", "chunk_index", "content_hash"],
         how="left_anti",
     )
+
+
+def smart_chunk_stage(
+    extracted: DataFrame,
+    text_col: str = "text_extracted",
+    chunk_size: int = 1000,
+) -> DataFrame:
+    """P2 legacy smart chunker as a stage — same row shape as
+    chunk_stage but line-aware greedy packing + fragment merge
+    (kernel.chunker.smart_chunk_text; ref indexing/chunker.py:21-126,
+    773-814). Kept for parity with the reference's deprecated-but-
+    callable path; the fixed-size chunker is the production default."""
+
+    @F.pandas_udf(ArrayType(CHUNK_STRUCT))
+    def chunk_udf(texts: pd.Series) -> pd.Series:
+        from ..kernel.chunker import smart_chunk_text
+
+        return pd.Series(
+            [
+                [
+                    (
+                        c["text"], c["chunk_index"], c["total_chunks"],
+                        c["size"], c["line_start"], c["line_end"],
+                    )
+                    for c in smart_chunk_text(t or "", chunk_size)
+                ]
+                for t in texts
+            ]
+        )
+
+    chunks = (
+        extracted.select(
+            "url", "warc_ts", "lang",
+            F.explode(chunk_udf(F.col(text_col))).alias("c"),
+        )
+        .select("url", "warc_ts", "lang", "c.*")
+    )
+    return chunks.withColumn(
+        "content_hash", F.sha2(F.col("text"), 256)
+    ).withColumn(
+        "point_id",
+        F.md5(F.concat_ws("_", F.col("url"), F.col("content_hash"),
+                          F.col("chunk_index"))),
+    )
