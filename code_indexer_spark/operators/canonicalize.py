@@ -25,10 +25,22 @@ Reference analog: content-id dedup / reconcile
 
 from __future__ import annotations
 
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import BooleanType
+
+def _char_shingles_expr(norm_col, k: int):
+    """array of distinct k-char shingles of an already-normalized name
+    (set semantics via array_distinct); shorter-than-k names shingle to
+    the whole name — the Column twin of kernel.hashes.char_shingles."""
+    n = F.length(norm_col)
+    return F.when(
+        n >= k,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.substr(norm_col, i, F.lit(k)),
+        )),
+    ).otherwise(F.array(norm_col))
+
 
 def band_stage(entities: DataFrame) -> DataFrame:
     """entities(entity_id, canonical_name, entity_type) -> exploded
@@ -54,15 +66,7 @@ def band_stage(entities: DataFrame) -> DataFrame:
         norm_surface(F.col("canonical_name")).alias("_norm"),
     ).withColumn("tok0", F.split("_norm", " ").getItem(0))
     n = F.length("_norm")
-    # set semantics via array_distinct; names shorter than k shingle to
-    # the whole name (kernel.hashes.char_shingles)
-    shingles = F.when(
-        n >= SHINGLE_K,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
-            lambda i: F.substr(F.col("_norm"), i, F.lit(SHINGLE_K)),
-        )),
-    ).otherwise(F.array(F.col("_norm")))
+    shingles = _char_shingles_expr(F.col("_norm"), SHINGLE_K)
 
     nonempty = base.filter(n > 0)
     sig = (
@@ -125,24 +129,25 @@ def candidate_pairs(entities: DataFrame) -> DataFrame:
 
 
 def verified_edges(entities: DataFrame) -> DataFrame:
-    """Candidate pairs filtered by exact shingle Jaccard >= threshold."""
+    """Candidate pairs filtered by exact shingle Jaccard >= threshold —
+    pure column expressions (array_intersect/array_union over the
+    distinct-shingle arrays = exact set Jaccard; an empty∩empty pair is
+    1.0 like kernel.hashes.jaccard). Runs only on blocked candidates,
+    and now with zero Python UDFs anywhere in canonicalization."""
+    from ..kernel.canon import JACCARD_THRESHOLD, SHINGLE_K
+    from ..functions.columns import norm_surface
 
-    @F.pandas_udf(BooleanType())
-    def jac_ok(na: pd.Series, nb: pd.Series) -> pd.Series:
-        from ..kernel.canon import JACCARD_THRESHOLD, name_shingles
-        from ..kernel.hashes import jaccard
-
-        return pd.Series(
-            [
-                jaccard(name_shingles(x or ""), name_shingles(y or ""))
-                >= JACCARD_THRESHOLD
-                for x, y in zip(na, nb)
-            ]
-        )
-
+    sa = _char_shingles_expr(
+        norm_surface(F.coalesce(F.col("name_a"), F.lit(""))), SHINGLE_K)
+    sb = _char_shingles_expr(
+        norm_surface(F.coalesce(F.col("name_b"), F.lit(""))), SHINGLE_K)
+    inter = F.size(F.array_intersect(sa, sb))
+    uni = F.size(F.array_union(sa, sb))
+    jac = F.when(uni == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / uni)
     return (
         candidate_pairs(entities)
-        .filter(jac_ok("name_a", "name_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
 

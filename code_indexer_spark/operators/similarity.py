@@ -116,8 +116,12 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: deterministic coarse quantizer + inverted lists.
+
+    Pass ``centroids`` (e.g. from kmeans_centroids) to probe a refined
+    codebook; default is the training-free hash sample below.
 
     Scale path beyond LSH: assign every vector to its nearest centroid
     (broadcast centroid table, JVM-side dot products), then probe only
@@ -135,19 +139,20 @@ def ivf_topk(
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    sample = (
-        emb.select(F.col(id_col), F.col(vec_col),
-                   F.xxhash64(F.col(id_col)).alias("_h"))
-        .orderBy("_h", id_col)
-        .limit(n_centroids)
-    )
-    # row_number here ranks only the n_centroids sampled rows (a k-row
-    # relation), not the full table — cost is negligible by construction
-    centroids = sample.select(
-        F.row_number().over(Window.orderBy("_h", id_col))
-        .alias("centroid_id"),
-        F.col(vec_col).alias("centroid_vec"),
-    )
+    if centroids is None:
+        sample = (
+            emb.select(F.col(id_col), F.col(vec_col),
+                       F.xxhash64(F.col(id_col)).alias("_h"))
+            .orderBy("_h", id_col)
+            .limit(n_centroids)
+        )
+        # row_number ranks only the n_centroids sampled rows (a k-row
+        # relation), not the full table — negligible by construction
+        centroids = sample.select(
+            F.row_number().over(Window.orderBy("_h", id_col))
+            .alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
 
     def nearest(df, key, vcol, top):
         j = df.crossJoin(F.broadcast(centroids)).withColumn(
@@ -173,6 +178,75 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "sim")
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical-KMeans centroid refinement as a DataFrame job —
+    (centroid_id, centroid_vec), unit-normalized.
+
+    Init = the n_centroids hash-smallest rows (the same deterministic
+    sample ivf_topk uses); each Lloyd round is: broadcast centroids →
+    assign every vector to its max-cosine centroid (JVM-side dot
+    products) → element-wise mean per cluster via posexplode +
+    partial-agg sum/count → re-normalize. Rounds are driver-side loop
+    iterations over distributed jobs; no vector data ever collects.
+
+    Centroid means are rounded to 6 decimals each round to absorb
+    float-reduction-order noise in the shuffle agg — assignments are
+    reproducible across partitionings for all but measure-zero
+    boundary ties. Cost per round: one broadcast join + one shuffle of
+    (cluster, dim) partial sums — at 10^12 rows this is the standard
+    IVF training job, run once per index build."""
+    init = (
+        emb.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"),
+                   F.col(id_col))
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+    )
+    centroids = init.select(
+        F.row_number().over(Window.orderBy("_h", id_col))
+        .alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("centroid_vec"),
+    )
+    for _ in range(iters):
+        j = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(
+            F.broadcast(centroids)
+        ).withColumn("_sim", cosine_expr(F.col(vec_col),
+                                         F.col("centroid_vec")))
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("_sim"), F.asc("centroid_id"))
+        assigned = (
+            j.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("centroid_id", F.col(vec_col).alias("_v"))
+        )
+        sums = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(F.col("_v")).alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("m", F.round(F.col("s") / F.col("n"), 6))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                 .getField("m").alias("mean_vec"))
+        )
+        norm = F.sqrt(F.aggregate(
+            F.transform("mean_vec", lambda x: x * x),
+            F.lit(0.0).cast("double"), lambda acc, x: acc + x))
+        centroids = sums.select(
+            "centroid_id",
+            F.when(norm > 0, F.transform(
+                "mean_vec", lambda x: F.round(x / norm, 6)))
+            .otherwise(F.col("mean_vec")).alias("centroid_vec"),
+        ).localCheckpoint(eager=True)  # cut the per-round lineage
+    return centroids
 
 
 def lsh_topk(

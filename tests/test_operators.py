@@ -331,3 +331,41 @@ def test_embedding_dup_pairs_lsh_planted_recall(spark):
     assert set(lsh) <= set(brute)          # exact precision
     assert all(lsh[k] == brute[k] for k in lsh)
     assert planted <= set(lsh)             # full planted recall
+
+
+def test_kmeans_centroids_improve_clustered_recall(spark):
+    """Spherical-KMeans refinement (kmeans_centroids) must not lose to
+    the uniform hash sample on clustered data — the IVF training job
+    promised by the ivf_topk docstring, as a real DataFrame job."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, kmeans_centroids)
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 64)) * 3
+    pts = [(ci * 50 + j,
+            [float(x) for x in centers[ci] + rng.standard_normal(64) * 0.4])
+           for ci in range(8) for j in range(50)]
+    emb = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    exact = brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id")
+    n_exact = exact.count()
+
+    def recall(cents):
+        a = ivf_topk(emb, queries, k=10, n_probe=2,
+                     centroids=cents).select("query_id", "neighbor_id")
+        return exact.join(a, ["query_id", "neighbor_id"],
+                          "left_semi").count() / n_exact
+
+    km = kmeans_centroids(emb, n_centroids=16, iters=2)
+    assert km.count() <= 16
+    r_sample, r_km = recall(None), recall(km)
+    assert r_km >= r_sample >= 0.8, (r_sample, r_km)
+    # centroids are unit-normalized (spherical)
+    row = km.collect()[0]
+    assert abs(sum(x * x for x in row.centroid_vec) - 1.0) < 1e-3
