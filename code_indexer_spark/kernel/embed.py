@@ -73,19 +73,27 @@ def tokenize(text: str) -> list[str]:
 def embed_text(text: str) -> np.ndarray:
     """text -> unit-norm float32 vector of EMBED_DIM.
 
-    Row-local, fixed op order: bag-of-hashed-tokens -> JL projection ->
-    L2 normalize. Identical output wherever it runs.
+    Row-local, fixed reduction: bag-of-hashed-tokens -> JL projection ->
+    L2 normalize. The signed projection rows are gathered into one
+    (n_tokens, EMBED_DIM) float32 block and reduced with numpy's
+    pairwise summation — a FIXED, pure-C reduction tree for a given
+    token sequence, so the output is identical wherever it runs (same
+    determinism contract as the previous sequential loop, ~10x faster;
+    the values differ from the loop's left-fold in the last float32
+    ulp, which is fine: the kernel itself is the spec on both the
+    pipeline and oracle sides).
     """
-    # Accumulate projection rows in token order (no BLAS gemv — keeps the
-    # float reduction order fixed across driver/executor processes).
     mat = projection_matrix()
-    vec = np.zeros(EMBED_DIM, dtype=np.float32)
-    for tok in tokenize(text):
+    toks = tokenize(text)
+    if not toks:
+        return np.zeros(EMBED_DIM, dtype=np.float32)
+    idx = np.empty(len(toks), dtype=np.int64)
+    signs = np.empty(len(toks), dtype=np.float32)
+    for j, tok in enumerate(toks):
         b, s = _token_bucket(tok)
-        if s > 0:
-            vec += mat[b]
-        else:
-            vec -= mat[b]
+        idx[j] = b
+        signs[j] = s
+    vec = (mat[idx] * signs[:, None]).sum(axis=0, dtype=np.float32)
     norm = np.float32(np.sqrt(np.float32(np.dot(vec, vec))))
     if norm > 0:
         vec = vec / norm
