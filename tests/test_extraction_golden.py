@@ -90,3 +90,83 @@ def test_markdown_image_extraction():
         "empty-alt.jpeg"]
     assert extract_markdown_images("") == []
     assert extract_markdown_images("no images here") == []
+
+
+# ---- fast-scanner differential: _fast_scan == html.parser or fallback ----
+
+_ADVERSARIAL = [
+    '<p>a &amp; b</p>', '<p>a &ampx b</p>', '<p>&#65;&#x41;</p>',
+    '<P>UPPER</P>', '<br/>', '<br />', '<br / >', '<img src="a.png">',
+    '<img src="a.png" src="b.png">', "<img src='single.png'>",
+    '<img data-src="x" src="y.png">', '<img src="a&amp;b.png">',
+    '<img src>', '<script>var a = "<p>not text</p>";</script>after',
+    '<script>x</script\t>tail', '<SCRIPT>y</script>z', '<script/>visible?',
+    '<noscript><p>inner</p><img src="n.png"></noscript>post',
+    '<template><h1>t</h1></template>', '<style>p{}</style>ok',
+    '<!-- comment -->text', '<!DOCTYPE html><p>d</p>', '<?php ?>x',
+    'a < b > c', '<p class="x">attr</p>', "<p class='y'>sq</p>",
+    '<p\nclass="z">nl</p>', '<foo.bar>odd</foo.bar>', '</>empty',
+    '<p>unclosed', '<p alt="a>b">quoted gt</p>', '<div>end with </div',
+    '<script>never closed', '<p  >spaces</p  >', '<hr>',
+    '<ul><li>i</li></ul>', '&amp; bare at start', 'trailing &',
+    '<img src="">', '<img alt="no src">', '<span>inline</span>',
+    '<noscript><script>s</script></noscript>after',
+]
+
+
+def _fast_equals_parser(html: str) -> bool:
+    from code_indexer_spark.kernel.extract import _fast_scan, _parse
+
+    fast = _fast_scan(html)
+    if fast is None:  # fallback is always correct
+        return True
+    p = _parse(html)
+    return ("".join(fast[0]), fast[1]) == ("".join(p.parts), p.img_sources)
+
+
+def test_fast_scanner_adversarial():
+    for case in _ADVERSARIAL:
+        assert _fast_equals_parser(case), case
+
+
+def test_fast_scanner_differential_fuzz():
+    """Property: on ANY input the fast scanner either matches the
+    stdlib parser exactly or falls back to it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frags = st.sampled_from([
+        "<p>", "</p>", "<div>", "</div>", "<br/>", "<br / >", "<hr>",
+        "<script>", "</script>", "<script/>", "<style>", "</style>",
+        "<noscript>", "</noscript>", '<img src="a.png">',
+        "<img src='b.png'>", '<img src="x&amp;y.png">', "<!-- c -->",
+        "<!DOCTYPE html>", "<?pi?>", "text", "a & b", "&amp;", "&ampx",
+        "&#65;", "&#x41;", "<", ">", '"', "'", "/", "\n", "\t", " ",
+        "é", "<TaG>", "</ p >", "<p class=\"k\">", "<p a=b>", "words",
+    ])
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(frags, min_size=0, max_size=12))
+    def prop(parts):
+        html = "".join(parts)
+        assert _fast_equals_parser(html), repr(html)
+
+    prop()
+
+
+def test_fast_scanner_takes_fixture_pages(spark, kg_small):
+    """The scanner must actually HANDLE the corpus (zero fallbacks) and
+    equal the parser page-for-page — otherwise it's dead weight."""
+    from code_indexer_spark.kernel.extract import (
+        _fast_scan, _parse, decode_bytes)
+
+    rows = spark.read.parquet(f"{kg_small}/pages.parquet") \
+        .select("html").collect()
+    assert len(rows) > 0
+    for r in rows:
+        html = decode_bytes(r.html)
+        fast = _fast_scan(html)
+        assert fast is not None
+        p = _parse(html)
+        assert ("".join(fast[0]), fast[1]) == ("".join(p.parts),
+                                               p.img_sources)
