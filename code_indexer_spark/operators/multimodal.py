@@ -133,3 +133,94 @@ def validate_assets(assets: DataFrame,
     return assets.withColumn("skip_reason", reason).withColumn(
         "is_valid", F.col("skip_reason").isNull()
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("asset_path", StringType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_images_stage(assets: DataFrame, width: int = 224,
+                        height: int = 224,
+                        deterministic_fake: bool = True) -> DataFrame:
+    """Resize as a 1:1 mapInPandas stage: binary in, binary out plus
+    (width, height) metadata — the batch shape a PIL/opencv resize
+    would use. Decode is STUBBED like decode_image (libs absent):
+    the fake output is md5(content | w | h)-seeded bytes, so the stage
+    is deterministic and the downstream schema/partitioning is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv (not in this "
+                    "container); deterministic_fake=True exercises the "
+                    "plumbing path")
+            out = pdf[["url", "asset_path", "fmt"]].copy()
+            out["width"] = width
+            out["height"] = height
+            out["content"] = [
+                hashlib.md5((c or b"") + f"|{width}x{height}".encode())
+                .digest()
+                for c in pdf["content"]
+            ]
+            yield out
+
+    return assets.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("asset_path", StringType()),
+        StructField("frame_index", IntegerType()),
+        StructField("ts_offset_s", FloatType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames_stage(assets: DataFrame, fps: float = 0.5,
+                        max_frames: int = 16,
+                        deterministic_fake: bool = True) -> DataFrame:
+    """Video frame sampling as a ROW-EXPANDING mapInPandas stage: one
+    input video row -> up to max_frames frame rows at 1/fps-second
+    spacing. The decode is STUBBED (no ffmpeg here): fake duration =
+    (content_len % 120) + 1 seconds, frame bytes md5(content | index) —
+    deterministic, so the expansion factor, Arrow batch shape, and the
+    downstream per-frame feature join are all real and testable. At
+    scale this is the stage that dominates bytes: partition the assets
+    table by bucket(url) so one hot site cannot pin an executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "frame sampling requires ffmpeg/av (not in this "
+                    "container); deterministic_fake=True exercises the "
+                    "plumbing path")
+            rows = []
+            for url, path, content in zip(
+                    pdf["url"], pdf["asset_path"], pdf["content"]):
+                c = content or b""
+                duration_s = (len(c) % 120) + 1
+                n = min(max_frames, max(1, int(duration_s * fps)))
+                for i in range(n):
+                    rows.append((
+                        url, path, i, float(i / fps),
+                        hashlib.md5(c + f"|frame{i}".encode()).digest(),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["url", "asset_path", "frame_index",
+                               "ts_offset_s", "frame"])
+
+    return assets.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=FRAMES_SCHEMA)

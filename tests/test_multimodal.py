@@ -53,3 +53,45 @@ def test_routing_and_features(spark, kg_small):
                .alias("n"))
            .filter(F.col("n") > 1).count())
     assert two == 0
+
+
+def test_resize_and_frame_sample_stages(spark):
+    """Resize (1:1) and video frame-sample (row-expanding) plumbing:
+    schemas, deterministic fake decode, expansion arithmetic."""
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.operators.multimodal import (
+        resize_images_stage, sample_frames_stage)
+
+    assets = spark.createDataFrame(
+        [
+            ("u1", "a/x.png", "image", b"imgbytes-1", 10, "png"),
+            ("u1", "a/y.jpg", "image", b"imgbytes-22", 11, "jpg"),
+            ("u2", "v/clip.mp4", "video", b"Z" * 9, 9, "mp4"),
+            ("u3", "v/long.mp4", "video", b"Q" * 119, 119, "mp4"),
+            ("u4", "s/track.mp3", "audio", b"audio", 5, "mp3"),
+        ],
+        ["url", "asset_path", "kind", "content", "content_len", "fmt"])
+
+    resized = resize_images_stage(assets, width=64, height=64)
+    rows = resized.collect()
+    assert {r.asset_path for r in rows} == {"a/x.png", "a/y.jpg"}
+    assert all(r.width == 64 and r.height == 64 and len(r.content) == 16
+               for r in rows)
+    # deterministic: same input -> same bytes
+    again = {r.asset_path: bytes(r.content)
+             for r in resize_images_stage(assets, 64, 64).collect()}
+    assert {r.asset_path: bytes(r.content) for r in rows} == again
+
+    frames = sample_frames_stage(assets, fps=0.5, max_frames=16)
+    by_path = {}
+    for r in frames.collect():
+        by_path.setdefault(r.asset_path, []).append(r)
+    # only video rows expand; fake duration = len%120+1 s at 0.5 fps
+    assert set(by_path) == {"v/clip.mp4", "v/long.mp4"}
+    assert len(by_path["v/clip.mp4"]) == int((9 % 120 + 1) * 0.5)
+    assert len(by_path["v/long.mp4"]) == 16  # capped at max_frames
+    fr = sorted(by_path["v/long.mp4"], key=lambda r: r.frame_index)
+    assert [r.frame_index for r in fr] == list(range(16))
+    assert fr[1].ts_offset_s == 2.0  # 1/fps spacing
+    assert len({bytes(r.frame) for r in fr}) == 16  # distinct frames
