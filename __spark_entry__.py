@@ -468,6 +468,23 @@ def q_session_windows(spark, sf_dir):
     )
 
 
+def q_session_windows_native(spark, sf_dir):
+    """§2.10 sessionization via Spark's NATIVE session_window operator
+    (the same gap-merge the Structured Streaming path uses with a
+    watermark) — semantics equal to the lag+cumsum form, verified by
+    the oracle reproducing it."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id",
+                  F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("event_id").alias("first_event"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events", "first_event")
+        .orderBy("user_id", "session_start")
+    )
+
+
 def q_tumbling_window(spark, sf_dir):
     """Tumbling 1-hour windows per event_type (§2.10 window agg)."""
     e = _t(spark, sf_dir, "events")
@@ -933,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glob_filter": q_glob_filter,
         "time_range_latest": q_time_range_latest,
         "session_windows": q_session_windows,
+        "session_windows_native": q_session_windows_native,
         "tumbling_window": q_tumbling_window,
         "commit_agg": q_commit_agg,
         "langid": q_langid,
@@ -1355,6 +1373,28 @@ def oracle_sql() -> dict[str, str]:
                min(event_id) AS first_event
         FROM s GROUP BY user_id, session_no
         ORDER BY user_id, session_no
+    """
+
+    sqls["session_windows_native"] = """
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, event_id, ts,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM g
+        )
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events, min(event_id) AS first_event
+        FROM s GROUP BY user_id, session_no
+        ORDER BY user_id, session_start
     """
 
     sqls["tumbling_window"] = """

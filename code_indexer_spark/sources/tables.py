@@ -108,3 +108,49 @@ def reconcile_status(indexed: DataFrame, current: DataFrame,
         .otherwise(F.lit("changed"))
     )
     return j.select(*key_cols, status.alias("status"))
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """S7 finalize as an explicit snapshot commit: write the relation to
+    ``table_dir/v=N`` (N = next version), then atomically flip the
+    ``_VERSION`` pointer (os.replace). Readers following the pointer
+    never observe a half-written snapshot — the parquet directory is
+    complete before the pointer moves, exactly Iceberg's
+    snapshot-then-swap metadata commit (the reference's end_indexing
+    finalize, filesystem_vector_store.py:602). Returns N."""
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    versions = snapshot_versions(table_dir)
+    n = (versions[-1] + 1) if versions else 1
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={n}"))
+    tmp = os.path.join(table_dir, "_VERSION.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(n))
+    os.replace(tmp, os.path.join(table_dir, "_VERSION"))
+    return n
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def read_snapshot(spark: SparkSession, table_dir: str,
+                  version: int | None = None) -> DataFrame:
+    """Time-travel read: the committed snapshot the ``_VERSION`` pointer
+    names (default), or any retained historical version — Iceberg's
+    ``VERSION AS OF`` over the parquet stand-in."""
+    import os
+
+    if version is None:
+        with open(os.path.join(table_dir, "_VERSION")) as f:
+            version = int(f.read().strip())
+    return spark.read.parquet(os.path.join(table_dir, f"v={version}"))

@@ -86,3 +86,22 @@ def test_norm_surface_matches_kernel(spark):
     for s, g in zip(samples, got):
         if s.isascii():
             assert g == normalize_surface(s), s
+
+
+def test_snapshot_write_and_time_travel(spark, tmp_path):
+    """S7 snapshot commit + time travel: the pointer only ever names a
+    complete snapshot; historical versions stay readable."""
+    from code_indexer_spark.sources.tables import (
+        read_snapshot, snapshot_versions, write_snapshot)
+
+    t = str(tmp_path / "tbl")
+    v1 = write_snapshot(spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["k", "v"]), t)
+    v2 = write_snapshot(spark.createDataFrame(
+        [(1, "a2"), (3, "c")], ["k", "v"]), t)
+    assert (v1, v2) == (1, 2)
+    assert snapshot_versions(t) == [1, 2]
+    latest = {(r.k, r.v) for r in read_snapshot(spark, t).collect()}
+    assert latest == {(1, "a2"), (3, "c")}
+    old = {(r.k, r.v) for r in read_snapshot(spark, t, version=1).collect()}
+    assert old == {(1, "a"), (2, "b")}
