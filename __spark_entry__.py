@@ -1165,12 +1165,16 @@ def oracle_sql() -> dict[str, str]:
                                            b.embedding), 4) >= 0.9
     """
 
+    # rank by the ROUNDED sim (as the Spark side does): two candidates
+    # whose sims tie at 4 decimals must order by neighbor_id on both
+    # engines, not by last-ulp noise in the unrounded cosines
     sqls["ann_topk"] = """
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                row_number() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                                   e.embedding::DOUBLE[]) DESC,
+                   ORDER BY round(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]), 4) DESC,
                             e.vec_id) AS rank,
                round(list_cosine_similarity(q.embedding::DOUBLE[],
                                             e.embedding::DOUBLE[]), 4) AS sim
@@ -1462,9 +1466,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio,
                alnum_ratio,
-               round(least(n_tokens / 50.0, 1.0) * 0.4
-                     + least(stopword_ratio * 4.0, 1.0) * 0.3
-                     + alnum_ratio * 0.3, 6) AS quality
+               floor((least(n_tokens / 50.0, 1.0) * 0.4
+                      + least(stopword_ratio * 4.0, 1.0) * 0.3
+                      + alnum_ratio * 0.3) * 1000000.0 + 0.5) / 1000000.0
+                   AS quality
         FROM m
     """
 

@@ -73,12 +73,16 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
         .alias("stopword_ratio"),
         F.round(alnum / F.greatest(n_chars, F.lit(1)), 6).alias("alnum_ratio"),
     )
-    quality = F.round(
+    q = (
         F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
         + F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0)) * 0.3
-        + F.col("alnum_ratio") * 0.3,
-        6,
+        + F.col("alnum_ratio") * 0.3
     )
+    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): both engines
+    # compute it as the same IEEE double ops, so a sum sitting exactly
+    # on a .5e-6 boundary rounds the same way everywhere (F.round's
+    # BigDecimal HALF_UP and DuckDB's round() disagree there)
+    quality = F.floor(q * 1000000.0 + 0.5) / 1000000.0
     return d.withColumn("quality", quality)
 
 
