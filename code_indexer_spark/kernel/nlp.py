@@ -164,9 +164,16 @@ class AliasIndex:
             if key not in seen:
                 seen.add(key)
                 self.by_first_token.setdefault(toks[0], []).append((toks, norm))
-        # longest-match-first per first token; deterministic order
-        for lst in self.by_first_token.values():
+        # longest-match-first per first token; deterministic order.
+        # Stored as (n_tokens, rest_tokens, norm): the first token is
+        # implied by the bucket key, so a 1-token candidate matches by
+        # construction and longer ones compare only their tail — this
+        # is detect_mentions' hot loop
+        for tok0, lst in self.by_first_token.items():
             lst.sort(key=lambda t: (-len(t[0]), t[1]))
+            self.by_first_token[tok0] = [
+                (len(toks), list(toks[1:]), norm) for toks, norm in lst
+            ]
         # deterministic candidate order
         for lst in self.by_norm.values():
             lst.sort()
@@ -220,11 +227,15 @@ class AliasIndex:
         out: list[tuple[int, str, str]] = []
         i = 0
         n = len(toks)
+        get = self.by_first_token.get
         while i < n:
+            cands = get(toks[i])
+            if cands is None:
+                i += 1
+                continue
             matched = None
-            for cand_toks, norm in self.by_first_token.get(toks[i], []):
-                m = len(cand_toks)
-                if i + m <= n and tuple(toks[i : i + m]) == cand_toks:
+            for m, rest, norm in cands:
+                if m == 1 or (i + m <= n and toks[i + 1:i + m] == rest):
                     matched = (i, norm, norm)
                     i += m
                     break
