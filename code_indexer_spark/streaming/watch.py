@@ -154,3 +154,41 @@ def windowed_page_rates(pages_stream: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .select(F.col("w.start").alias("window_start"), "lang", "n_pages")
     )
+
+
+def run_merge_sink(stream_df: DataFrame, table_dir: str,
+                   key_cols: list[str], checkpoint_dir: str):
+    """foreachBatch MERGE sink: every micro-batch upserts into a
+    versioned snapshot table (sources.tables.write_snapshot /
+    merge_upsert) — the production shape of the reference's incremental
+    HNSW update per debounced batch (filesystem_vector_store.py:
+    4040-4224): content-addressed keys make replayed batches idempotent,
+    and the atomic _VERSION pointer flip is the per-batch finalize.
+    Each batch commit = one new readable snapshot; time travel gives
+    the index state after any batch.
+
+    Uses availableNow (drain) semantics; returns the StreamingQuery."""
+    import os
+
+    from ..sources.tables import (
+        merge_upsert, read_snapshot, snapshot_versions, write_snapshot)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if snapshot_versions(table_dir):
+            target = read_snapshot(spark, table_dir)
+            merged = merge_upsert(target, batch_df, key_cols)
+        else:
+            merged = batch_df
+        write_snapshot(merged, table_dir)
+
+    os.makedirs(table_dir, exist_ok=True)
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return q
