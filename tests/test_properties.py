@@ -84,3 +84,37 @@ def test_glob_matches_fnmatch_on_starless_paths(path, pattern):
         return
     got = re.fullmatch(glob_to_regex(pattern), path) is not None
     assert got == fnmatch.fnmatchcase(path, pattern)
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT, st.integers(min_value=50, max_value=600))
+def test_smart_chunker_invariants(text, size):
+    """P2 legacy chunker invariants for ANY input: chunk_index/total
+    consistent, line ranges monotone and within the file, every chunk's
+    constituent lines exist verbatim in the source text (the merge pass
+    only ever joins stripped fragments with newlines), and the run is
+    deterministic."""
+    from code_indexer_spark.kernel.chunker import smart_chunk_text
+
+    got = smart_chunk_text(text, size)
+    assert got == smart_chunk_text(text, size)  # deterministic
+    if not text or not text.strip():
+        assert got == []
+        return
+    n_lines = len(text.splitlines())
+    src_lines = set(text.splitlines())
+    prev_start = 0
+    for i, c in enumerate(got):
+        assert c["chunk_index"] == i
+        assert c["total_chunks"] == len(got)
+        assert c["size"] == len(c["text"])
+        assert 1 <= c["line_start"] <= c["line_end"] <= n_lines
+        assert c["line_start"] >= prev_start
+        prev_start = c["line_start"]
+        for ln in c["text"].split("\n"):
+            if ln == "":
+                continue
+            # lines are verbatim source lines, oversized-line windows,
+            # or stripped fragments thereof
+            assert (ln in src_lines
+                    or any(ln in s for s in src_lines)), ln
