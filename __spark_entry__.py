@@ -1165,6 +1165,62 @@ def oracle_sql() -> dict[str, str]:
                                            b.embedding), 4) >= 0.9
     """
 
+    # ann_lsh IS oracle-checkable: the hyperplane weights are md5-derived
+    # ±1 literals (inlined below), the projection is a LEFT FOLD in both
+    # engines (Spark F.aggregate ≡ DuckDB list_reduce — identical IEEE
+    # op order, so the sign bits and buckets agree bit-for-bit), probes
+    # are the bucket plus its 8 one-bit flips, and sims rank rounded.
+    from code_indexer_spark.operators.similarity import (
+        N_PLANES, _hyperplane_weights)
+
+    _w = _hyperplane_weights(N_PLANES, 64)
+    _w_rows = ",\n            ".join(
+        "({}, [{}])".format(p, ",".join(f"{x:.1f}" for x in _w[p]))
+        for p in range(N_PLANES))
+    sqls["ann_lsh"] = f"""
+        WITH w(p, wv) AS (VALUES
+            {_w_rows}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        proj AS (
+            SELECT e.vec_id, w.p,
+                   list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                           list_transform(range(64),
+                                          i -> e.v[i + 1] * w.wv[i + 1])),
+                       (a, b) -> a + b) AS pr
+            FROM e, w
+        ),
+        bucket AS (
+            SELECT vec_id,
+                   sum(CASE WHEN pr > 0 THEN 1 ELSE 0 END
+                       * (1 << (7 - p)))::BIGINT AS bucket
+            FROM proj GROUP BY vec_id
+        ),
+        probes AS (
+            SELECT b.vec_id AS query_id,
+                   unnest([b.bucket]
+                          || list_transform(range(8),
+                                            i -> xor(b.bucket,
+                                                     (1 << i)::BIGINT)))
+                       AS pb
+            FROM bucket b WHERE b.vec_id < 5
+        )
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS rank,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]), 4) AS sim
+        FROM probes p
+        JOIN bucket cb ON cb.bucket = p.pb
+        JOIN embeddings c ON c.vec_id = cb.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        QUALIFY rank <= 10
+    """
+
     # rank by the ROUNDED sim (as the Spark side does): two candidates
     # whose sims tie at 4 decimals must order by neighbor_id on both
     # engines, not by last-ulp noise in the unrounded cosines
