@@ -1221,6 +1221,48 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= 10
     """
 
+    # ann_ivf oracle: md5-ordered centroid sample (portable), rounded-sim
+    # argmax assignment + probes (so a last-ulp cosine difference cannot
+    # flip list membership), rounded-sim final rank — all reproducible
+    sqls["ann_ivf"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(vec_id::VARCHAR), vec_id) AS centroid_id,
+                   v AS cv
+            FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+        ),
+        assigned AS (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, cent.cv),
+                                      4) DESC,
+                                cent.centroid_id) AS r
+            FROM e, cent QUALIFY r = 1
+        ),
+        probed AS (
+            SELECT q.vec_id AS query_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.v, cent.cv),
+                                      4) DESC,
+                                cent.centroid_id) AS r
+            FROM e q, cent WHERE q.vec_id < 5 QUALIFY r <= 4
+        )
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round(list_cosine_similarity(q.v, ev.v),
+                                  4) DESC, a.vec_id) AS rank,
+               round(list_cosine_similarity(q.v, ev.v), 4) AS sim
+        FROM probed p
+        JOIN assigned a ON a.centroid_id = p.centroid_id
+        JOIN e ev ON ev.vec_id = a.vec_id
+        JOIN e q ON q.vec_id = p.query_id
+        QUALIFY rank <= 10
+    """
+
     # rank by the ROUNDED sim (as the Spark side does): two candidates
     # whose sims tie at 4 decimals must order by neighbor_id on both
     # engines, not by last-ulp noise in the unrounded cosines

@@ -140,9 +140,11 @@ def ivf_topk(
     from pyspark.sql import Window
 
     if centroids is None:
+        # md5 (not xxhash64) sample order: portable — the DuckDB oracle
+        # reproduces the exact centroid set and ids
         sample = (
             emb.select(F.col(id_col), F.col(vec_col),
-                       F.xxhash64(F.col(id_col)).alias("_h"))
+                       F.md5(F.col(id_col).cast("string")).alias("_h"))
             .orderBy("_h", id_col)
             .limit(n_centroids)
         )
@@ -155,8 +157,11 @@ def ivf_topk(
         )
 
     def nearest(df, key, vcol, top):
+        # assignment ranks the ROUNDED sim: a cross-engine last-ulp
+        # difference must not flip which list a boundary vector joins
         j = df.crossJoin(F.broadcast(centroids)).withColumn(
-            "_sim", cosine_expr(F.col(vcol), F.col("centroid_vec")))
+            "_sim", F.round(cosine_expr(F.col(vcol),
+                                        F.col("centroid_vec")), 4))
         ww = Window.partitionBy(key).orderBy(
             F.desc("_sim"), F.asc("centroid_id"))
         return (
