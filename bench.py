@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "embedding_dup_pairs_lsh",
     "ann_topk",
+    "ann_lsh",
+    "smart_context",
+    "provider_parallel",
     # fusion / windows / scans
     "rrf_fusion",
     "session_windows",

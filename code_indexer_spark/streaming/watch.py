@@ -167,6 +167,11 @@ def run_merge_sink(stream_df: DataFrame, table_dir: str,
     Each batch commit = one new readable snapshot; time travel gives
     the index state after any batch.
 
+    Scale note: the parquet stand-in rewrites the merged table per
+    batch (O(table) writes); on Iceberg the SAME sink body is one
+    MERGE INTO that rewrites only the data files holding matched keys
+    (merge-on-read) — the seam is sources/tables, nothing here changes.
+
     Uses availableNow (drain) semantics; returns the StreamingQuery."""
     import os
 
