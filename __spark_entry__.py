@@ -740,6 +740,23 @@ def q_graph_impact(spark, sf_dir):
         d2.select("dst", F.lit(2).alias("dist"))).orderBy("dist", "dst")
 
 
+def q_pagerank(spark, sf_dir):
+    """Entity importance via 3 PageRank rounds over the co-supplier
+    graph (per-round rounding makes the recurrence engine-portable)."""
+    from code_indexer_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey").distinct()
+    edges = (
+        li.alias("a").join(li.alias("b"),
+                           F.col("a.l_partkey") == F.col("b.l_partkey"))
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("src"),
+                F.col("b.l_suppkey").alias("dst")).distinct()
+    )
+    return pagerank(edges).orderBy(F.desc("pr"), "node").limit(100)
+
+
 def q_smart_context(spark, sf_dir):
     """G6 smart-context composite over the supplier graph analog:
     target = supplier 0; files = parts; definition = parts supplier 0
@@ -974,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_impact": q_graph_impact,
         "call_chains": q_call_chains,
         "smart_context": q_smart_context,
+        "pagerank": q_pagerank,
         "kg_chunks": kg_chunks,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1768,6 +1786,36 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT dst, 2 AS dist FROM d2
         ORDER BY dist, dst
+    """
+
+    _PR_STEP = """
+        SELECT n.node,
+               round(0.15 + 0.85 * coalesce(sum(p.pr / od.outdeg), 0.0), 8)
+                   AS pr
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN {prev} p ON p.node = e.src
+        LEFT JOIN outdeg od ON od.src = e.src
+        GROUP BY n.node
+    """
+    sqls["pagerank"] = f"""
+        WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        edges AS (
+            SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+            FROM li a JOIN li b ON a.l_partkey = b.l_partkey
+            WHERE a.l_suppkey != b.l_suppkey
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges
+        ),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        pr0 AS (SELECT node, 1.0 AS pr FROM nodes),
+        pr1 AS ({_PR_STEP.format(prev="pr0")}),
+        pr2 AS ({_PR_STEP.format(prev="pr1")}),
+        pr3 AS ({_PR_STEP.format(prev="pr2")})
+        SELECT node, pr FROM pr3
+        ORDER BY pr DESC, node LIMIT 100
     """
 
     sqls["smart_context"] = """

@@ -160,3 +160,48 @@ def smart_context(definitions: DataFrame, dependents: DataFrame,
     )
     w = Window.orderBy(F.desc("relevance_score"), F.asc("file"))
     return per_file.withColumn("read_priority", F.row_number().over(w))
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+             round_to: int = 8) -> DataFrame:
+    """Entity-importance scores over (src, dst) edges: `iters` rounds of
+    PR(v) = (1-d) + d * Σ_{u->v} PR(u)/outdeg(u), dangling nodes keep
+    their base mass. The KG analog of ranking entities by mention count
+    (build_nodes.n_mentions) that actually propagates importance
+    through the link structure — useful as a canonical-entity ranking
+    signal at training-data scale.
+
+    Each round is one join + one groupBy shuffle on dst; scores are
+    rounded to `round_to` decimals PER ROUND so the floating-point
+    reduction order of the shuffle agg can never leak into the result —
+    the output is deterministic across partitionings and engines (the
+    DuckDB oracle runs the identical unrolled recurrence).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranked = nodes.withColumn("pr", F.lit(1.0))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranked, edges.src == ranked.node)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"),
+                    (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranked = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0)),
+                    round_to,
+                ).alias("pr"),
+            )
+        )
+    return ranked

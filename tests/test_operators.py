@@ -369,3 +369,22 @@ def test_kmeans_centroids_improve_clustered_recall(spark):
     # centroids are unit-normalized (spherical)
     row = km.collect()[0]
     assert abs(sum(x * x for x in row.centroid_vec) - 1.0) < 1e-3
+
+
+def test_pagerank_properties(spark):
+    """PageRank on a hand graph: star hub outranks leaves; dangling and
+    isolated-source nodes keep base mass; deterministic."""
+    from code_indexer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "d")],
+        ["src", "dst"])
+    pr = {r.node: r.pr for r in pagerank(edges, iters=3).collect()}
+    assert set(pr) == {"a", "b", "c", "hub", "d"}
+    # sources a/b/c receive nothing: base mass 0.15
+    assert pr["a"] == pr["b"] == pr["c"] == 0.15
+    # exact 3-round recurrence: hub_1=2.7 -> hub_2=hub_3=0.5325;
+    # d_3 = 0.15 + 0.85*hub_2 (hub's whole mass flows on, outdeg 1)
+    assert pr["hub"] == 0.5325
+    assert pr["d"] == round(0.15 + 0.85 * 0.5325, 8)
+    assert pr == {r.node: r.pr for r in pagerank(edges, iters=3).collect()}
