@@ -533,6 +533,13 @@ def q_token_counts(spark, sf_dir):
         .withColumnRenamed("id", "doc_id")
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    from code_indexer_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents")) \
+        .withColumnRenamed("id", "doc_id")
+
+
 def q_top_tokens(spark, sf_dir):
     from code_indexer_spark.operators.textstats import top_tokens
 
@@ -974,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "top_tokens": q_top_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprints": q_fingerprints,
         "snippets": q_snippets,
         "rrf_multi_shard": q_rrf_multi_shard,
@@ -1599,6 +1607,34 @@ def oracle_sql() -> dict[str, str]:
                    string_split_regex(lower(trim(text)), '\\s+'),
                    x -> x <> ''))) AS n_distinct_tokens
         FROM documents
+    """
+
+    sqls["tfidf_top_terms"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        dft AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+        SELECT doc_id, term,
+               floor(tf * ln(n::DOUBLE / df) * 1000000.0 + 0.5) / 1000000.0
+                   AS score,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY floor(tf * ln(n::DOUBLE / df) * 1000000.0 + 0.5)
+                            / 1000000.0 DESC,
+                            term) AS rank
+        FROM tf JOIN dft USING (term), n
+        QUALIFY rank <= 3
     """
 
     sqls["top_tokens"] = """

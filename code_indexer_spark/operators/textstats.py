@@ -9,7 +9,7 @@ semantics chosen to be expressible 1:1 in the DuckDB oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from .dedup import tokens_expr
 
@@ -153,4 +153,39 @@ def snippets(docs: DataFrame, needle: str, id_col: str = "doc_id",
                 F.lit(radius * 2 + len(needle)),
             ).alias("snippet"),
         )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, term, score, rank): each document's k most distinctive terms
+    by tf·idf with idf = ln(N/df) — the classic training-data signal for
+    document topicality / keyword extraction.
+
+    Shuffle shape: one explode + (doc, token) agg, a token-keyed df agg
+    broadcast back, and a per-doc top-k window — at corpus scale the df
+    table is vocabulary-sized (Zipf-bounded) and broadcastable.
+    Scores are stabilized with floor(x*1e6+0.5)/1e6 (engine-identical
+    rounding) and ranked on the ROUNDED value, ties by term — the same
+    cross-engine discipline as quality_score/ann_topk."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(tokens_expr(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.select("id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.floor(F.col("tf") * F.log(F.col("n") / F.col("df"))
+                    * 1000000.0 + 0.5) / 1000000.0,
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "score", "rank")
     )
