@@ -533,6 +533,18 @@ def q_token_counts(spark, sf_dir):
         .withColumnRenamed("id", "doc_id")
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Training-mix construction: per-language deterministic sampling
+    (50% en, all de, 25% fr) via content-keyed md5 thresholds —
+    reproducible on any engine/partitioning, stable under growth."""
+    from code_indexer_spark.operators.textstats import corpus_mix
+
+    return corpus_mix(
+        _t(spark, sf_dir, "documents"),
+        {"en": 0.5, "de": 1.0, "fr": 0.25},
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     from code_indexer_spark.operators.textstats import tfidf_top_terms
 
@@ -982,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "top_tokens": q_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "corpus_mix": q_corpus_mix,
         "fingerprints": q_fingerprints,
         "snippets": q_snippets,
         "rrf_multi_shard": q_rrf_multi_shard,
@@ -1607,6 +1620,19 @@ def oracle_sql() -> dict[str, str]:
                    string_split_regex(lower(trim(text)), '\\s+'),
                    x -> x <> ''))) AS n_distinct_tokens
         FROM documents
+    """
+
+    sqls["corpus_mix"] = """
+        WITH h AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+            FROM documents
+        )
+        SELECT doc_id, lang FROM h
+        WHERE (lang = 'en' AND hv < 2147483648)
+           OR (lang = 'de' AND hv < 4294967296)
+           OR (lang = 'fr' AND hv < 1073741824)
+        ORDER BY doc_id
     """
 
     sqls["tfidf_top_terms"] = """

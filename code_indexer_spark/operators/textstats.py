@@ -189,3 +189,37 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("rank") <= k)
         .select("id", "term", "score", "rank")
     )
+
+
+def deterministic_sample(df: DataFrame, key_col: str,
+                         fraction: float) -> DataFrame:
+    """Content-keyed Bernoulli sample: keep rows where the first 8 hex
+    chars of md5(key) — a uniform 32-bit integer — fall under
+    fraction·2^32. Deterministic (same rows every run, every engine,
+    any partitioning), reproducible in SQL, and stable under corpus
+    growth: a row's fate depends only on its own key, so incremental
+    batches sample consistently with history. The sampling every
+    training-data pipeline needs but Spark's df.sample() can't give
+    (seed-and-partitioning dependent)."""
+    threshold = int(fraction * (1 << 32))
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("long")
+    return df.filter(h < threshold)
+
+
+def corpus_mix(docs: DataFrame, fractions: dict[str, float],
+               stratum_col: str = "lang",
+               key_col: str = "doc_id") -> DataFrame:
+    """Training-mix construction: per-stratum deterministic sampling
+    rates (e.g. downsample English, keep all low-resource languages) —
+    the corpus-mixing step of an LLM data pipeline as one filter.
+    Strata absent from `fractions` are dropped (explicit mix only)."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("long")
+    cond = F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        cond = cond | (
+            (F.col(stratum_col) == stratum)
+            & (h < int(frac * (1 << 32)))
+        )
+    return docs.filter(cond)

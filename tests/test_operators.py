@@ -388,3 +388,23 @@ def test_pagerank_properties(spark):
     assert pr["hub"] == 0.5325
     assert pr["d"] == round(0.15 + 0.85 * 0.5325, 8)
     assert pr == {r.node: r.pr for r in pagerank(edges, iters=3).collect()}
+
+
+def test_deterministic_sample_properties(spark):
+    """Content-keyed sampling: rate ~ fraction, stable under corpus
+    growth (old rows keep their fate), partitioning-independent."""
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.operators.textstats import deterministic_sample
+
+    docs = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s = deterministic_sample(docs, "doc_id", 0.25)
+    n = s.count()
+    assert abs(n / 4000 - 0.25) < 0.03
+    kept_small = {r.doc_id for r in deterministic_sample(
+        docs.filter(F.col("doc_id") < 1000), "doc_id", 0.25).collect()}
+    kept_all = {r.doc_id for r in s.collect()}
+    assert kept_small == {k for k in kept_all if k < 1000}  # growth-stable
+    repart = {r.doc_id for r in deterministic_sample(
+        docs.repartition(7), "doc_id", 0.25).collect()}
+    assert repart == kept_all
