@@ -156,6 +156,14 @@ def q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_corpus(spark, sf_dir), threshold=0.3)
 
 
+def q_ngram_dup_spans(spark, sf_dir):
+    """Cross-doc duplicated 10-token spans over the planted-duplicate
+    corpus (Lee et al. 2022 exact-substring dedup, shingle-keyed)."""
+    from code_indexer_spark.operators.dedup import ngram_dup_spans
+
+    return ngram_dup_spans(_corpus(spark, sf_dir), n=10)
+
+
 def q_minhash_signatures(spark, sf_dir):
     from code_indexer_spark.operators.dedup import minhash_long
 
@@ -962,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_smart": q_chunk_smart,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
+        "ngram_dup_spans": q_ngram_dup_spans,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1115,6 +1124,29 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    """
+
+    sqls["ngram_dup_spans"] = f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS t
+            FROM corpus
+        ),
+        spans AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(t) >= 10
+                        THEN array_to_string(t[i:i+9], ' ')
+                        ELSE array_to_string(t, ' ') END AS shingle
+            FROM toks, generate_series(1, 100000) AS g(i)
+            WHERE i <= greatest(len(t) - 9, 1)
+        )
+        SELECT md5(shingle) AS span_hash,
+               count(DISTINCT doc_id) AS n_docs,
+               min(doc_id) AS keep_id
+        FROM spans GROUP BY md5(shingle)
+        HAVING count(DISTINCT doc_id) >= 2
     """
 
     _MINHASH_50 = """

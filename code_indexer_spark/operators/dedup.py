@@ -254,3 +254,25 @@ def embedding_dup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def ngram_dup_spans(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 10,
+                    min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated spans: documents sharing any exact
+    n-token span (the train-set memorization signal of
+    "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022 — their 50-token exact-substring criterion, here
+    token-shingle-keyed so it stays one shuffle).
+
+    (span_hash, n_docs, keep_id): one row per duplicated span value,
+    the smallest doc id as the canonical holder. Shuffle key is the
+    span hash — bucket width is O(true duplicates); no pairwise join."""
+    sh = word_shingles_df(docs, id_col, text_col, n)
+    return (
+        sh.select(F.md5("shingle").alias("span_hash"), "id")
+        .groupBy("span_hash")
+        .agg(F.countDistinct("id").alias("n_docs"),
+             F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
