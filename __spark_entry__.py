@@ -541,6 +541,27 @@ def q_token_counts(spark, sf_dir):
         .withColumnRenamed("id", "doc_id")
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction over synthesized contact lines (every doc gets an
+    email, a URL, and a long number appended — so masking and counts
+    are exercised on every row)."""
+    from code_indexer_spark.operators.textstats import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    withpii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact a"),
+            F.col("doc_id").cast("string"), F.lit("@example.com see "),
+            F.lit("https://example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit(" ref 123456789"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(withpii).select(
+        F.col("id").alias("doc_id"), F.md5("text_scrubbed").alias("scrub_hash"),
+        "n_emails", "n_urls", "n_longnums")
+
+
 def q_corpus_mix(spark, sf_dir):
     """Training-mix construction: per-language deterministic sampling
     (50% en, all de, 25% fr) via content-keyed md5 thresholds —
@@ -1004,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "corpus_mix": q_corpus_mix,
+        "scrub_pii": q_scrub_pii,
         "fingerprints": q_fingerprints,
         "snippets": q_snippets,
         "rrf_multi_shard": q_rrf_multi_shard,
@@ -1652,6 +1674,31 @@ def oracle_sql() -> dict[str, str]:
                    string_split_regex(lower(trim(text)), '\\s+'),
                    x -> x <> ''))) AS n_distinct_tokens
         FROM documents
+    """
+
+    sqls["scrub_pii"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   text || ' contact a' || doc_id::VARCHAR
+                   || '@example.com see https://example.com/p/'
+                   || doc_id::VARCHAR || ' ref 123456789'
+                   || doc_id::VARCHAR AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                   '[0-9]{9,}', '<NUM>', 'g')) AS scrub_hash,
+               len(string_split(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   chr(1), 'g'), chr(1))) - 1 AS n_emails,
+               len(string_split(regexp_replace(t,
+                   'https?://[^\s]+', chr(1), 'g'), chr(1))) - 1 AS n_urls,
+               len(string_split(regexp_replace(t,
+                   '[0-9]{9,}', chr(1), 'g'), chr(1))) - 1 AS n_longnums
+        FROM w
     """
 
     sqls["corpus_mix"] = """

@@ -223,3 +223,31 @@ def corpus_mix(docs: DataFrame, fractions: dict[str, float],
             & (h < int(frac * (1 << 32)))
         )
     return docs.filter(cond)
+
+
+PII_PATTERNS = [
+    # (name, regex, replacement) — conservative RE2-compatible patterns
+    # that behave identically under Java regex (Spark) and RE2 (DuckDB)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("longnum", r"[0-9]{9,}", "<NUM>"),
+]
+
+
+def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, text_scrubbed, n_emails, n_urls, n_longnums): the redaction
+    pass of a training-data pipeline — emails, URLs, and long digit runs
+    masked with typed placeholders, per-doc match counts kept for
+    filtering/stats. Pure regexp column expressions; counts are derived
+    from length deltas of a sentinel substitution so each pattern is
+    evaluated once per kind."""
+    out = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    counts = []
+    scrubbed = F.col("t")
+    for name, pat, repl in PII_PATTERNS:
+        n = F.size(F.split(F.regexp_replace(F.col("t"), pat, "\x01"),
+                           "\x01")) - 1
+        counts.append(n.alias(f"n_{name}s"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.select("id", scrubbed.alias("text_scrubbed"), *counts)
