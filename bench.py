@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "provider_parallel",
     # fusion / windows / scans
     "rrf_fusion",
+    # training-data pipeline ops (round 2)
+    "ngram_dup_spans",
+    "tfidf_top_terms",
+    "corpus_mix",
+    "scrub_pii",
+    "pagerank",
     "session_windows",
     "tumbling_window",
     "pricing_summary",
