@@ -1356,6 +1356,132 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= 10
     """
 
+    # ann_recall oracle: the full recall report composed from the SAME
+    # proven blocks — lsh buckets (left-fold bit parity), ivf
+    # (md5-sampled centroids, rounded-sim assignment), brute force —
+    # over the raw queries (recall@10) and the rational-perturbation
+    # planted queries (self-recall@1)
+    def _ann_query_blocks(p: str, k: int) -> str:
+        return f"""
+        {p}proj AS (
+            SELECT q.query_id, w.p AS p,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(64),
+                                      i -> q.qv[i + 1] * w.wv[i + 1])),
+                       (a, b) -> a + b) AS pr
+            FROM {p} q, w),
+        {p}bucket AS (
+            SELECT query_id,
+                   sum(CASE WHEN pr > 0 THEN 1 ELSE 0 END
+                       * (1 << (7 - p)))::BIGINT AS bucket
+            FROM {p}proj GROUP BY query_id),
+        {p}probes AS (
+            SELECT query_id,
+                   unnest([bucket] || list_transform(range(8),
+                       i -> xor(bucket, (1 << i)::BIGINT))) AS pb
+            FROM {p}bucket),
+        {p}lsh AS (
+            SELECT pr.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY pr.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, c.v),
+                                      4) DESC, c.vec_id) AS rank
+            FROM {p}probes pr
+            JOIN ebucket cb ON cb.bucket = pr.pb
+            JOIN e c ON c.vec_id = cb.vec_id
+            JOIN {p} q ON q.query_id = pr.query_id
+            QUALIFY rank <= {k}),
+        {p}iprobe AS (
+            SELECT q.query_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, cent.cv),
+                                      4) DESC, cent.centroid_id) AS r
+            FROM {p} q, cent QUALIFY r <= 4),
+        {p}ivf AS (
+            SELECT ip.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY ip.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, ev.v),
+                                      4) DESC, a.vec_id) AS rank
+            FROM {p}iprobe ip
+            JOIN assigned a ON a.centroid_id = ip.centroid_id
+            JOIN e ev ON ev.vec_id = a.vec_id
+            JOIN {p} q ON q.query_id = ip.query_id
+            QUALIFY rank <= {k})"""
+
+    sqls["ann_recall"] = f"""
+        WITH w(p, wv) AS (VALUES
+            {_w_rows}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        eproj AS (
+            SELECT e.vec_id, w.p,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(64),
+                                      i -> e.v[i + 1] * w.wv[i + 1])),
+                       (a, b) -> a + b) AS pr
+            FROM e, w),
+        ebucket AS (
+            SELECT vec_id,
+                   sum(CASE WHEN pr > 0 THEN 1 ELSE 0 END
+                       * (1 << (7 - p)))::BIGINT AS bucket
+            FROM eproj GROUP BY vec_id),
+        cent AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(vec_id::VARCHAR), vec_id) AS centroid_id,
+                   v AS cv
+            FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        assigned AS (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, cent.cv),
+                                      4) DESC, cent.centroid_id) AS r
+            FROM e, cent QUALIFY r = 1),
+        qraw AS (SELECT vec_id AS query_id, v AS qv
+                 FROM e WHERE vec_id < 20),
+        qpl AS (
+            SELECT vec_id AS query_id,
+                   list_transform(range(64),
+                       i -> v[i + 1] * (1.0 + 0.1
+                            * ((((vec_id + i) % 7) - 3) / 3.0))) AS qv
+            FROM e WHERE vec_id < 20),
+        {_ann_query_blocks('qraw', 10)},
+        {_ann_query_blocks('qpl', 1)},
+        bf AS (
+            SELECT q.query_id, e2.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, e2.v),
+                                      4) DESC, e2.vec_id) AS rank
+            FROM qraw q, e e2 QUALIFY rank <= 10),
+        stats AS (SELECT count(DISTINCT query_id) AS n_queries,
+                         count(*) AS n_exact FROM bf),
+        lsh_hits AS (
+            SELECT count(*) AS n FROM bf
+            JOIN qrawlsh l ON l.query_id = bf.query_id
+                          AND l.neighbor_id = bf.neighbor_id),
+        ivf_hits AS (
+            SELECT count(*) AS n FROM bf
+            JOIN qrawivf v ON v.query_id = bf.query_id
+                          AND v.neighbor_id = bf.neighbor_id),
+        lsh_self AS (SELECT count(*) AS n FROM qpllsh
+                     WHERE rank = 1 AND neighbor_id = query_id),
+        ivf_self AS (SELECT count(*) AS n FROM qplivf
+                     WHERE rank = 1 AND neighbor_id = query_id)
+        SELECT 'lsh_multiprobe' AS variant, s.n_queries,
+               round(lh.n::DOUBLE / s.n_exact, 4) AS recall_at_k,
+               round(ls.n::DOUBLE / s.n_queries, 4)
+                   AS planted_self_recall_at_1
+        FROM stats s, lsh_hits lh, lsh_self ls
+        UNION ALL
+        SELECT 'ivf_probe4', s.n_queries,
+               round(ih.n::DOUBLE / s.n_exact, 4),
+               round(sf.n::DOUBLE / s.n_queries, 4)
+        FROM stats s, ivf_hits ih, ivf_self sf
+        ORDER BY variant
+    """
+
     # rank by the ROUNDED sim (as the Spark side does): two candidates
     # whose sims tie at 4 decimals must order by neighbor_id on both
     # engines, not by last-ulp noise in the unrounded cosines

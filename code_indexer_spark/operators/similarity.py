@@ -304,16 +304,20 @@ def lsh_topk(
 def planted_queries(emb: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Deterministic near-duplicate probe set: each query is its source
-    vector with a ±10% per-component sinusoidal perturbation
-    (cos(query, source) ≈ 0.995, far above the fixture's random-pair
-    p99 of 0.29). Retrieving the planted source at rank 1 is the
-    near-dup retrieval task ANN exists for — and is measurable on
-    synthetic data, unlike raw recall@10 (see recall_report)."""
+    vector with a ±10% per-component RATIONAL perturbation
+    (1 + 0.1·(((id+i) mod 7) − 3)/3 — exact IEEE arithmetic, identical
+    in any engine, unlike sin()). cos(query, source) ≈ 0.998, far above
+    the fixture's random-pair p99 of 0.29. Retrieving the planted
+    source at rank 1 is the near-dup retrieval task ANN exists for —
+    and is measurable on synthetic data, unlike raw recall@10 (see
+    recall_report). Same scheme as the planted-duplicate corpus the
+    dedup oracle verifies value-for-value."""
     return emb.select(
         F.col(id_col).alias("query_id"),
         F.transform(
-            F.col(vec_col),
-            lambda x, i: x * (1.0 + 0.1 * F.sin(F.col(id_col) + i)),
+            F.col(vec_col).cast("array<double>"),
+            lambda x, i: x * (1.0 + 0.1 * (
+                (F.pmod(F.col(id_col) + i, F.lit(7)) - 3) / 3.0)),
         ).alias("query_vec"),
     )
 
