@@ -61,11 +61,15 @@ def semantic_search(
     qv = _query_vec_lit(query_text)
     cand = chunks
     if accuracy == "fast":
-        # LSH: same-bucket candidates only (bucket of the query vector)
-        qb_row = cand.sparkSession.range(1).select(
-            lsh_bucket_expr_lit(query_text).alias("qb")).collect()[0]
+        # LSH multi-probe: the query's bucket plus its 8 one-bit-flip
+        # neighbors (same Hamming-1 policy as operators.similarity.
+        # lsh_topk) — near-boundary queries keep their recall. The probe
+        # ids are driver-side literals, so the filter is a pushable isin.
+        qb = int(cand.sparkSession.range(1).select(
+            lsh_bucket_expr_lit(query_text).alias("qb")).collect()[0]["qb"])
+        probes = [qb] + [qb ^ (1 << i) for i in range(8)]
         cand = cand.withColumn("_b", lsh_bucket_expr(vec_col)).filter(
-            F.col("_b") == F.lit(qb_row["qb"]))
+            F.col("_b").isin(probes))
     elif accuracy == "balanced":
         # IVF-lite: restrict to the query's vbucket prefix family
         # (first 2 hex chars of the 2-bit quantization = coarse cell)
