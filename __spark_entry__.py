@@ -1685,9 +1685,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         s AS (
             SELECT user_id, event_id,
-                   sum(new_sess) OVER (
+                   (sum(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_no
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
             FROM g
         )
         SELECT user_id, session_no, count(*) AS n_events,
@@ -1707,9 +1707,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         s AS (
             SELECT user_id, event_id, ts,
-                   sum(new_sess) OVER (
+                   (sum(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_no
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
             FROM g
         )
         SELECT user_id, min(ts) AS session_start,

@@ -36,6 +36,56 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def assign_nearest_lists(df, vcol, centroids, top=1, out_col="list_id",
+                         round_sims: int | None = 4):
+    """Shuffle-free nearest-centroid assignment — a narrow map.
+
+    Packs the (small, n_centroids-row) centroid table into ONE row via
+    collect_list and broadcast-nested-loop-joins that row onto ``df``,
+    so every input row sees the whole codebook as an array<struct>
+    column; all sims are computed in a single projection and the argmax
+    (sim desc, centroid_id asc — the cross-engine tiebreak) is
+    ``array_max`` over (sim, -centroid_id, centroid_id) structs.
+
+    Zero Exchange on the vector table: the previous form
+    (crossJoin(broadcast) + Window.partitionBy(id) + row_number)
+    shuffled n x n_centroids rows INCLUDING the embedding arrays just
+    to rank n_centroids broadcast values per row — at 10^12 vectors
+    that shuffle dwarfs the probe join it enables.
+
+    top=1 appends ``out_col``; top>1 explodes the per-row top-n list
+    (sort desc / slice / explode — all narrow). ``round_sims`` rounds
+    sims before ranking so a cross-engine last-ulp difference cannot
+    flip a boundary vector's list (None = rank raw sims, used by
+    KMeans where centroid means are already rounded)."""
+    sim_of = lambda c: cosine_expr(F.col(vcol), c["centroid_vec"])  # noqa: E731
+    if round_sims is not None:
+        raw = sim_of
+        sim_of = lambda c: F.round(raw(c), round_sims)  # noqa: E731
+    packed = F.broadcast(centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "centroid_vec")))
+        .alias("_cents")))
+    j = df.crossJoin(packed)
+    sims = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            sim_of(c).alias("sim"),
+            (-c["centroid_id"]).alias("_neg"),
+            c["centroid_id"].alias("cid"),
+        ),
+    )
+    if top == 1:
+        return j.select(*df.columns,
+                        F.array_max(sims)["cid"].alias(out_col))
+    ordered = F.slice(F.reverse(F.array_sort(sims)), 1, top)
+    return (
+        j.withColumn("_top", ordered)
+        .select(*df.columns,
+                F.explode(F.col("_top")["cid"]).alias(out_col))
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -156,23 +206,11 @@ def ivf_topk(
             F.col(vec_col).alias("centroid_vec"),
         )
 
-    def nearest(df, key, vcol, top):
-        # assignment ranks the ROUNDED sim: a cross-engine last-ulp
-        # difference must not flip which list a boundary vector joins
-        j = df.crossJoin(F.broadcast(centroids)).withColumn(
-            "_sim", F.round(cosine_expr(F.col(vcol),
-                                        F.col("centroid_vec")), 4))
-        ww = Window.partitionBy(key).orderBy(
-            F.desc("_sim"), F.asc("centroid_id"))
-        return (
-            j.withColumn("_cr", F.row_number().over(ww))
-            .filter(F.col("_cr") <= top)
-            .select(df.columns + [F.col("centroid_id").alias("list_id")])
-        )
-
-    assigned = nearest(emb.select(id_col, vec_col), id_col, vec_col, 1)
-    probed = nearest(queries.select("query_id", "query_vec"),
-                     "query_id", "query_vec", n_probe)
+    assigned = assign_nearest_lists(
+        emb.select(id_col, vec_col), vec_col, centroids, top=1)
+    probed = assign_nearest_lists(
+        queries.select("query_id", "query_vec"), "query_vec", centroids,
+        top=n_probe)
 
     cand = probed.join(assigned, "list_id")
     sim = cosine_expr(F.col("query_vec"), F.col(vec_col))
@@ -195,8 +233,11 @@ def kmeans_centroids(
     """Spherical-KMeans centroid refinement as a DataFrame job —
     (centroid_id, centroid_vec), unit-normalized.
 
-    Init = the n_centroids hash-smallest rows (the same deterministic
-    sample ivf_topk uses); each Lloyd round is: broadcast centroids →
+    Init = the n_centroids xxhash64-smallest rows — a deterministic
+    uniform sample, keyed differently from ivf_topk's default md5
+    sample on purpose (refined centroids should not start from the
+    exact rows the oracle-portable default already covers); each Lloyd
+    round is: broadcast centroids →
     assign every vector to its max-cosine centroid (JVM-side dot
     products) → element-wise mean per cluster via posexplode +
     partial-agg sum/count → re-normalize. Rounds are driver-side loop
@@ -220,17 +261,10 @@ def kmeans_centroids(
         F.col(vec_col).cast("array<double>").alias("centroid_vec"),
     )
     for _ in range(iters):
-        j = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(
-            F.broadcast(centroids)
-        ).withColumn("_sim", cosine_expr(F.col(vec_col),
-                                         F.col("centroid_vec")))
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("_sim"), F.asc("centroid_id"))
-        assigned = (
-            j.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("centroid_id", F.col(vec_col).alias("_v"))
-        )
+        assigned = assign_nearest_lists(
+            emb.select(F.col(id_col), F.col(vec_col)), vec_col, centroids,
+            top=1, out_col="centroid_id", round_sims=None,
+        ).select("centroid_id", F.col(vec_col).alias("_v"))
         sums = (
             assigned.select(
                 "centroid_id",
