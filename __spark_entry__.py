@@ -156,6 +156,19 @@ def q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_corpus(spark, sf_dir), threshold=0.3)
 
 
+def q_jaccard_pairs_guarded(spark, sf_dir):
+    """Exact Jaccard with the max_df=64 stop-shingle guard — the form
+    the bench runs (the 100 TB shape: a boilerplate shingle shared by D
+    docs fans into D²/2 join rows without the cut). 64 is above the
+    fixture's max shingle df (9 at sf0.01, 29 at sf0.1), so pairs here
+    equal the unguarded oracle path; the SQL oracle still implements
+    the cut itself, keeping the entry value-checked even if the cap
+    ever binds."""
+    from code_indexer_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_corpus(spark, sf_dir), threshold=0.3, max_df=64)
+
+
 def q_ngram_dup_spans(spark, sf_dir):
     """Cross-doc duplicated 10-token spans over the planted-duplicate
     corpus (Lee et al. 2022 exact-substring dedup, shingle-keyed)."""
@@ -175,6 +188,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     from code_indexer_spark.operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(_corpus(spark, sf_dir))
+
+
+def q_dedup_resolution(spark, sf_dir):
+    """Cluster-level dedup: LSH pairs -> 4-round min-label propagation
+    -> (doc_id, keep_id, is_canonical). Full value oracle: DuckDB runs
+    the identical unrolled recurrence over the identical pair set."""
+    from code_indexer_spark.operators.dedup import dedup_resolution
+
+    return dedup_resolution(_corpus(spark, sf_dir))
 
 
 def q_simhash(spark, sf_dir):
@@ -974,6 +996,49 @@ def kg_edges(spark, sf_dir):
     return build_edges(build_canonical_triples(spark, _kg_dir(sf_dir)))
 
 
+def _kg_graph(spark, sf_dir):
+    """(src, dst) adjacency from the REAL materialized-edges shape:
+    build_edges output read back the way a consumer reads the salted
+    table — src recovered by stripping the skew salt,
+    split(salted_key, '#')[0] (plans/pipeline.py build_edges)."""
+    from code_indexer_spark.plans.pipeline import (
+        build_canonical_triples, build_edges)
+
+    edges = build_edges(build_canonical_triples(spark, _kg_dir(sf_dir)))
+    return edges.select(
+        F.split("salted_key", "#")[0].alias("src"),
+        F.col("obj").alias("dst"))
+
+
+def kg_graph_impact(spark, sf_dir):
+    """G4 impact BFS over the real KG edges table (rows-only — the
+    upstream triples come from the Arrow-UDF extract pipeline): seeds
+    are the 3 highest in-degree canonical entities (deterministic
+    tie-break by name), answering "which entities transitively point at
+    the hubs, and how far out" — the KG twin of the reference's
+    analyze_impact over dependents (scip/query/primitives.py:273-325).
+    """
+    from code_indexer_spark.operators.graph import impact_bfs
+
+    g = _kg_graph(spark, sf_dir)
+    seeds = (g.groupBy(F.col("dst").alias("node"))
+             .agg(F.count(F.lit(1)).alias("deg"))
+             .orderBy(F.desc("deg"), "node").limit(3).select("node"))
+    return impact_bfs(g, seeds, max_depth=3).orderBy("dist", "node")
+
+
+def kg_pagerank(spark, sf_dir):
+    """Entity importance propagated over the real KG link structure
+    (rows-only): pagerank on the desalted build_edges adjacency —
+    the ranking signal the reference approximates with raw mention
+    counts (scip/query/primitives.py:234-357), run on the exact table
+    a consumer would read."""
+    from code_indexer_spark.operators.graph import pagerank
+
+    return (pagerank(_kg_graph(spark, sf_dir), iters=3)
+            .orderBy(F.desc("pr"), "node").limit(20))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -991,9 +1056,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_smart": q_chunk_smart,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_pairs_guarded": q_jaccard_pairs_guarded,
         "ngram_dup_spans": q_ngram_dup_spans,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_resolution": q_dedup_resolution,
         "simhash": q_simhash,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
@@ -1052,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hybrid_search": kg_hybrid_search,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        "kg_graph_impact": kg_graph_impact,
+        "kg_pagerank": kg_pagerank,
         "kg_reconcile_incremental": kg_reconcile_incremental,
     }
 
@@ -1148,6 +1217,33 @@ def oracle_sql() -> dict[str, str]:
         WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
     """
 
+    # the guarded path's oracle re-implements the max_df=64 frequency
+    # cut, so the comparison stays a full value oracle even when the
+    # stop-shingle guard binds
+    sqls["jaccard_pairs_guarded"] = f"""
+        WITH {_SHINGLES},
+        kept AS (
+            SELECT s.doc_id, s.shingle
+            FROM shingles s
+            JOIN (SELECT shingle FROM shingles
+                  GROUP BY shingle HAVING count(*) <= 64) f
+              USING (shingle)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM kept a JOIN kept b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jac
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    """
+
     sqls["ngram_dup_spans"] = f"""
         WITH corpus AS ({_CORPUS_SQL}),
         toks AS (
@@ -1217,6 +1313,51 @@ def oracle_sql() -> dict[str, str]:
           ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
+    """
+
+    # dedup_resolution: the minhash_lsh_pairs pair set -> 4 unrolled
+    # rounds of min-label propagation (identical recurrence to
+    # operators.dedup.dedup_resolution; bounded rounds are what make
+    # cluster resolution value-checkable cross-engine)
+    _prop = ["l0 AS (SELECT DISTINCT u, u AS lbl FROM dedup_edges)"]
+    for _r in range(1, 5):
+        _prop.append(f"""
+        l{_r} AS (
+            SELECT l.u,
+                   least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+            FROM l{_r - 1} l
+            LEFT JOIN dedup_edges e ON e.u = l.u
+            LEFT JOIN l{_r - 1} n ON n.u = e.v
+            GROUP BY l.u, l.lbl
+        )""")
+    sqls["dedup_resolution"] = f"""
+        WITH {_SHINGLES},
+        mh AS (
+            SELECT doc_id, seed,
+                   min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+            FROM shingles, generate_series(0, 15) AS s(seed)
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, seed // 2 AS band,
+                   md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+            FROM mh GROUP BY doc_id, seed // 2
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        dedup_edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        {",".join(_prop)}
+        SELECT u AS doc_id, lbl AS keep_id, (u = lbl) AS is_canonical
+        FROM l4
     """
 
     sqls["simhash"] = """

@@ -31,7 +31,8 @@ BENCH_QUERIES = [
     "kg_edges",
     # dedup / similarity suite (driver tables)
     "minhash_lsh_pairs",
-    "jaccard_pairs",
+    "dedup_resolution",
+    "jaccard_pairs_guarded",
     "embedding_dup_pairs_lsh",
     "ann_topk",
     "ann_lsh",

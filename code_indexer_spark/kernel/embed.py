@@ -100,6 +100,30 @@ def embed_text(text: str) -> np.ndarray:
     return vec.astype(np.float32)
 
 
+# Golden pin for embed_text's determinism contract: the reduction above
+# leans on numpy's pairwise-sum blocking, an implementation detail that
+# is stable in practice but not API-guaranteed across numpy versions or
+# builds. A silent change would re-embed every vector differently, so
+# the exact 256 output bytes of a fixed probe are pinned and checked
+# once at session startup (session.get_spark) — numpy drift fails
+# loudly, up front, instead of as a week-later index mismatch.
+_GOLDEN_PROBE = "the quick brown fox jumps over the lazy dog 42"
+_GOLDEN_MD5 = "dabdeaa3ba5945571b7b06ef8e7550cc"
+
+
+def assert_embed_golden() -> None:
+    """Raise if embed_text's bytes drifted from the pinned golden."""
+    got = hashlib.md5(embed_text(_GOLDEN_PROBE).tobytes()).hexdigest()
+    if got != _GOLDEN_MD5:
+        import numpy
+
+        raise RuntimeError(
+            f"embed_text determinism drift: golden md5 {_GOLDEN_MD5} "
+            f"!= {got} (numpy {numpy.__version__}) — the installed "
+            "numpy's reduction order differs from the pinned contract; "
+            "embeddings produced now would not match existing indexes")
+
+
 def cosine(a: np.ndarray, b: np.ndarray) -> float:
     """Cosine for unit vectors = dot product; float32 accumulate.
 

@@ -202,11 +202,14 @@ def _fast_scan(html: str):
         if tag == "img":
             for aname, aval in _ATTR_RE.findall(rest):
                 if aname.lower() == "src":
+                    # break only after a NON-empty src, mirroring the
+                    # parser exactly: on <img src="" src="b.png"> the
+                    # parser skips the empty value and takes b.png
                     if aval:
                         if "&" in aval:
                             return None  # parser unescapes attr values
                         imgs.append(aval.strip())
-                    break
+                        break
         if tag in _SKIP_CONTENT_TAGS:
             if startend or tag not in _CDATA_END:
                 # <script/> or noscript/template: depth only, keep parsing

@@ -72,14 +72,31 @@ def word_shingles_df(docs: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle self-join.
 
     (id_a, id_b, jac) with id_a < id_b and jac >= threshold. The
     shingle-join computes |∩| in one shuffle; sizes come from a tiny
     per-doc agg that broadcast-joins back.
+
+    ``max_df`` is the stop-shingle guard for scale (the Lee et al. 2022
+    frequency cut): shingles appearing in more than max_df documents
+    are dropped BEFORE the self-join — a df-D shingle alone fans out
+    into D(D-1)/2 candidate rows, so one boilerplate phrase shared by
+    10^6 pages would otherwise dominate the whole shuffle. The hot set
+    is Zipf-bounded (few shingles exceed any reasonable cap), so it is
+    removed with a broadcast anti-join, and Jaccard is then computed
+    self-consistently over the frequency-cut shingle universe (sizes
+    too). None (the default) keeps exact oracle semantics; the bench
+    runs the guarded path with a cap above the fixture's max df, so
+    the emitted pairs are unchanged there by construction.
     """
     sh = word_shingles_df(docs, id_col, text_col, k)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -275,4 +292,60 @@ def ngram_dup_spans(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.countDistinct("id").alias("n_docs"),
              F.min("id").alias("keep_id"))
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def dedup_resolution(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", rounds: int = 4) -> DataFrame:
+    """End-to-end duplicate-CLUSTER resolution — the full dedup story,
+    not just pair emission: banded MinHash-LSH candidate pairs ->
+    rounds-bounded min-label propagation -> one canonical keep id per
+    connected duplicate cluster.
+
+    (doc_id, keep_id, is_canonical) for every document in at least one
+    candidate pair; keep_id = the smallest doc_id in the component, so
+    a training-data pipeline keeps rows where is_canonical and drops
+    the rest (the reference's keep-first dedup policy at cluster
+    granularity).
+
+    Propagation is label(v) <- min(label(v), min over LSH-neighbors'
+    labels), `rounds` times — exact connected components whenever the
+    component diameter <= rounds. LSH duplicate clusters are
+    near-cliques (every member shares a band bucket with most others),
+    so 4 rounds covers real corpora; at 10^12 docs the same per-round
+    plan (one join + one groupBy shuffle on doc id, edge list never
+    collected) loops until a convergence check instead. The bounded
+    unrolling is what makes the operator cross-engine value-checkable:
+    the DuckDB oracle runs the identical recurrence. For general graphs
+    (not near-clique dup clusters) use
+    operators.canonicalize's large-star/small-star instead."""
+    pairs = lsh_candidate_pairs(docs, id_col, text_col)
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    )
+    # materialize the (slim, O(duplicates)) edge list once: every
+    # propagation round re-reads it, and without the checkpoint the
+    # whole shingle->minhash->band subtree would re-execute per round
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(rounds):
+        nbr = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+            .groupBy(F.col("e.u").alias("u"))
+            .agg(F.min("l.lbl").alias("nl"))
+        )
+        labels = (
+            labels.alias("l")
+            .join(nbr.alias("n"), "u", "left")
+            .select("u", F.least(
+                F.col("l.lbl"),
+                F.coalesce(F.col("n.nl"), F.col("l.lbl"))).alias("lbl"))
+        )
+    return labels.select(
+        F.col("u").alias(id_col),
+        F.col("lbl").alias("keep_id"),
+        (F.col("u") == F.col("lbl")).alias("is_canonical"),
     )

@@ -241,7 +241,16 @@ def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
     masked with typed placeholders, per-doc match counts kept for
     filtering/stats. Pure regexp column expressions; counts are derived
     from length deltas of a sentinel substitution so each pattern is
-    evaluated once per kind."""
+    evaluated once per kind.
+
+    Counts are RAW per-pattern match totals on the ORIGINAL text, while
+    replacements apply sequentially (email -> url -> longnum) — so a
+    span consumed by an earlier substitution still counts for a later
+    pattern (e.g. a 9-digit run inside a URL is counted in n_longnums
+    but ends up inside <URL>, never replaced by <NUM>). Counts can
+    therefore exceed inserted placeholders; the SQL oracle mirrors the
+    same raw-count semantics, which suit the usual consumer (per-doc
+    PII-density stats) better than placeholder accounting would."""
     out = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     counts = []
     scrubbed = F.col("t")

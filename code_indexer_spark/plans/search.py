@@ -15,8 +15,10 @@ search_service.py:466-467) to retrieval strategies:
   - 'high'     -> exact brute-force cosine (the oracle path);
   - 'balanced' -> IVF probe (operators.similarity.ivf_topk);
   - 'fast'     -> LSH bucket match (single-bucket candidate set).
-All three over-fetch 2x before filtering, like prefetch_limit
-(filesystem_vector_store.py:2968-2970).
+Filtered approximate profiles over-fetch by the reference's k-banded
+multipliers and escalate to exact on starvation — see semantic_search's
+docstring (prefetch_limit, filesystem_vector_store.py:2968-2970;
+band multipliers, temporal_search_service.py:265-293).
 
 `hybrid_search` is the FTS ∥ semantic RRF merge
 (server/query/semantic_query_manager.py:2592-2660, A2 in SURVEY §2.6).
@@ -42,6 +44,20 @@ def _query_vec_lit(query_text: str):
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+# The reference's filtered-search over-fetch bands
+# (temporal_search_service.py:265-293): requested k -> candidate
+# multiplier. Small k with a selective filter needs the widest net.
+_OVERFETCH_BANDS = ((5, 20), (10, 15), (20, 10))
+_OVERFETCH_DEFAULT = 5
+
+
+def overfetch_multiplier(k: int) -> int:
+    for cap, mult in _OVERFETCH_BANDS:
+        if k <= cap:
+            return mult
+    return _OVERFETCH_DEFAULT
+
+
 def semantic_search(
     chunks: DataFrame,
     query_text: str,
@@ -50,14 +66,28 @@ def semantic_search(
     accuracy: str = "high",
     score_threshold: float | None = None,
     vec_col: str = "embedding",
+    adaptive: bool = True,
 ) -> DataFrame:
     """chunks(url, chunk_index, text, embedding, vbucket, ...) ->
-    (url, chunk_index, score, text) top-k for one query string."""
+    (url, chunk_index, score, text) top-k for one query string.
+
+    Filtered approximate search over-fetches (T3): when a payload
+    filter or score threshold is combined with the 'fast'/'balanced'
+    profiles, the candidate net widens by the reference's k-banded
+    multiplier (<=5 -> 20x, <=10 -> 15x, <=20 -> 10x, else 5x —
+    temporal_search_service.py:265-293; prefetch_limit
+    filesystem_vector_store.py:2968-2970): 'fast' probes Hamming-2
+    instead of Hamming-1 buckets, 'balanced' widens the vbucket prefix
+    family 16x. If even the widened net yields fewer than k surviving
+    rows, ``adaptive=True`` falls back to the exact 'high' scan — a
+    selective filter can never silently starve the top-k."""
     if filter_spec:
         conflicts = detect_filter_conflicts(filter_spec)
         if conflicts:
             raise ValueError(f"contradictory filter: {conflicts}")
 
+    has_filter = bool(filter_spec) or score_threshold is not None
+    widen = has_filter and overfetch_multiplier(k) >= 10
     qv = _query_vec_lit(query_text)
     cand = chunks
     if accuracy == "fast":
@@ -68,15 +98,22 @@ def semantic_search(
         qb = int(cand.sparkSession.range(1).select(
             lsh_bucket_expr_lit(query_text).alias("qb")).collect()[0]["qb"])
         probes = [qb] + [qb ^ (1 << i) for i in range(8)]
+        if widen:
+            # over-fetch: Hamming-2 shell too (37 of 256 buckets) —
+            # still a pushable isin of driver literals
+            probes += [qb ^ (1 << i) ^ (1 << j)
+                       for i in range(8) for j in range(i + 1, 8)]
         cand = cand.withColumn("_b", lsh_bucket_expr(vec_col)).filter(
             F.col("_b").isin(probes))
     elif accuracy == "balanced":
         # IVF-lite: restrict to the query's vbucket prefix family
-        # (first 2 hex chars of the 2-bit quantization = coarse cell)
+        # (first 2 hex chars of the 2-bit quantization = coarse cell;
+        # 1 char under filtered over-fetch = 16x wider family)
         from ..kernel.embed import bucket_of
 
         qb = bucket_of(embed_text(query_text))
-        cand = cand.filter(F.col("vbucket").startswith(qb[:2]))
+        cand = cand.filter(F.col("vbucket").startswith(
+            qb[:1] if widen else qb[:2]))
     # 'high': full scan (exact)
 
     scored = cand.withColumn("score", F.round(
@@ -91,11 +128,25 @@ def semantic_search(
     # partitionBy would funnel every scored row through ONE task; the
     # reference's prefetch_limit over-fetch is subsumed because filters
     # already ran above, so the exact top-k IS the answer.)
-    return (
+    topk = (
         scored.orderBy(F.desc("score"), F.asc("url"), F.asc("chunk_index"))
         .limit(k)
         .select("url", "chunk_index", "score", "text")
     )
+    if adaptive and has_filter and accuracy != "high":
+        # bounded driver materialization (<= k rows by construction):
+        # detect candidate-set starvation and escalate to the exact
+        # scan, like the reference's retry-wider ladder. The collected
+        # rows are re-wrapped so the common (enough-rows) case runs the
+        # approximate job exactly once.
+        rows = topk.collect()
+        if len(rows) < k:
+            return semantic_search(
+                chunks, query_text, k=k, filter_spec=filter_spec,
+                accuracy="high", score_threshold=score_threshold,
+                vec_col=vec_col, adaptive=False)
+        return chunks.sparkSession.createDataFrame(rows, schema=topk.schema)
+    return topk
 
 
 def lsh_bucket_expr_lit(query_text: str):
@@ -117,19 +168,44 @@ def lsh_bucket_expr_lit(query_text: str):
 def keyword_search(
     chunks: DataFrame, query_text: str, k: int = 10,
 ) -> DataFrame:
-    """FTS analog: case-insensitive containment, ranked by term
-    frequency then position (tantivy_index_manager.py:658 semantics,
-    without a separate index — the scan IS the index at rest)."""
+    """FTS analog over the P9 identifiers field plus raw text.
+
+    Single-term queries rank by TOKEN frequency on the identifiers
+    array (the tokenized FTS field the reference indexes —
+    tantivy_index_manager.py:217-241, fed by smart_indexer.py:1309):
+    a token whose punctuation-trimmed lowercase form equals the query
+    counts 1.0; raw substring hits contribute only a sub-unit
+    tie-break term tf/(1+tf) < 1, so any identifier-token hit outranks
+    every substring-only hit while substring matches (plurals,
+    compounds) still surface when no token matches. Phrase queries
+    (embedded whitespace can't match a single whitespace-split token)
+    keep the pure substring-tf path (tantivy_index_manager.py:658).
+
+    All scoring is JVM-side column math on the scan — no separate
+    index; the scan IS the index at rest."""
     import re
+
+    from ..functions.columns import identifiers
 
     needle = query_text.lower()
     # escape: the query is a literal term, not a regex
-    tf = (F.length(F.lower("text"))
-          - F.length(F.regexp_replace(F.lower("text"), re.escape(needle), ""))
-          ) / max(len(needle), 1)
+    sub_tf = (F.length(F.lower("text"))
+              - F.length(F.regexp_replace(F.lower("text"),
+                                          re.escape(needle), ""))
+              ) / max(len(needle), 1)
+    if query_text.strip() and not re.search(r"\s", query_text.strip()):
+        term = needle.strip()
+        tok_tf = F.size(F.filter(
+            identifiers("text"),
+            lambda t: F.regexp_replace(
+                F.lower(t), "^[^a-z0-9]+|[^a-z0-9]+$", "") == term,
+        )).cast("double")
+        score = tok_tf + sub_tf / (F.lit(1.0) + sub_tf)
+    else:
+        score = sub_tf
     return (
         chunks.filter(F.lower("text").contains(needle))
-        .withColumn("score", tf.cast("double"))
+        .withColumn("score", score.cast("double"))
         .withColumn("snippet", snippet_expr("text", query_text))
         .orderBy(F.desc("score"), F.asc("url"), F.asc("chunk_index"))
         .limit(k)

@@ -57,6 +57,11 @@ def get_spark(
         b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    # fail loudly at startup if the installed numpy's reduction order
+    # broke embed_text's byte-exact determinism contract (kernel.embed)
+    from .kernel.embed import assert_embed_golden
+
+    assert_embed_golden()
     return b.getOrCreate()
 
 

@@ -110,6 +110,8 @@ _ADVERSARIAL = [
     '<script>never closed', '<p  >spaces</p  >', '<hr>',
     '<ul><li>i</li></ul>', '&amp; bare at start', 'trailing &',
     '<img src="">', '<img alt="no src">', '<span>inline</span>',
+    '<img src="" src="b.png">', '<img src="" src="" src="c.png">',
+    '<img src="" alt="x">', '<img src="a.png" src="">',
     '<noscript><script>s</script></noscript>after',
 ]
 

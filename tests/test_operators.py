@@ -63,6 +63,26 @@ def test_lsh_finds_exact_copies(spark):
     assert rows[0]["n_bands_shared"] == 8
 
 
+def test_dedup_resolution_clusters(spark):
+    """Cluster resolution: a 3-doc duplicate chain (A~B, B~C) collapses
+    to one canonical keep id even when A and C never share a bucket
+    edge directly — propagation closes the transitive link."""
+    from code_indexer_spark.operators.dedup import dedup_resolution
+
+    same = "one two three four five six"
+    df = spark.createDataFrame(
+        [(5, same), (2, same), (9, same),
+         (7, "seven eight nine ten eleven twelve"),
+         (8, "seven eight nine ten eleven twelve"),
+         (3, "lonely unique document content here")],
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.keep_id, r.is_canonical)
+           for r in dedup_resolution(df).collect()}
+    # doc 3 is in no pair -> absent; clusters keep their min id
+    assert got == {2: (2, True), 5: (2, False), 9: (2, False),
+                   7: (7, True), 8: (7, False)}
+
+
 def test_brute_force_topk_and_lsh(spark):
     from code_indexer_spark.operators.similarity import brute_force_topk, lsh_topk
 

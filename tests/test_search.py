@@ -86,3 +86,55 @@ def test_keyword_search_literal_metachars(spark, chunks):
     assert rows and all("€100" in (r.snippet or "") for r in rows)
     # and a pure-metachar query must not blow up / match everything
     assert keyword_search(chunks, "a.*b(", k=5).count() == 0
+
+
+def test_filtered_fast_overfetch_still_fills_k(spark, chunks):
+    """T3 over-fetch parity: a selective payload filter combined with an
+    approximate profile must not starve the top-k — the widened probe
+    net (Hamming-2 / 16x prefix family) plus the exact-scan fallback
+    guarantee k rows whenever k matching rows exist at all."""
+    from code_indexer_spark.plans.search import (overfetch_multiplier,
+                                                 semantic_search)
+
+    assert [overfetch_multiplier(x) for x in (3, 5, 8, 10, 15, 20, 50)] == \
+        [20, 20, 15, 15, 10, 10, 5]
+
+    probe = chunks.limit(1).collect()[0]
+    # the rarest lang in the fixture = the most selective equality filter
+    rare = (chunks.groupBy("lang").count()
+            .orderBy("count", "lang").collect()[0])
+    k = min(5, rare["count"])
+    spec = {"must": [{"key": "lang", "match": {"value": rare["lang"]}}]}
+    exact = semantic_search(chunks, probe.text, k=k, filter_spec=spec,
+                            accuracy="high").collect()
+    assert len(exact) == k
+    ekeys = {(r.url, r.chunk_index) for r in exact}
+    for profile in ("fast", "balanced"):
+        got = semantic_search(chunks, probe.text, k=k, filter_spec=spec,
+                              accuracy=profile).collect()
+        assert len(got) == k, profile
+        gkeys = {(r.url, r.chunk_index) for r in got}
+        # at least the unfiltered profile gate (top-1 parity) worth of
+        # overlap: the filtered approximate set must stay anchored to
+        # the exact answer, not drift to an arbitrary k rows
+        assert len(ekeys & gkeys) / k >= 0.6, (profile, ekeys, gkeys)
+
+
+def test_keyword_search_identifier_tokens_outrank_substring(spark):
+    """FTS ranks the tokenized identifiers field above raw substring
+    containment: an exact token hit (even punctuation-wrapped) beats a
+    chunk where the term only occurs inside a longer word."""
+    from code_indexer_spark.plans.search import keyword_search
+
+    df = spark.createDataFrame(
+        [("u1", 0, "our partner program ships today"),
+         ("u2", 0, "a (partner), yes a partner indeed"),
+         ("u3", 0, "partnership partnerships copartnered")],
+        ["url", "chunk_index", "text"])
+    rows = keyword_search(df, "partner", k=10).collect()
+    assert [r.url for r in rows] == ["u2", "u1", "u3"]
+    # token hits score >= 1; the substring-only chunk stays below 1
+    assert rows[0].score > rows[1].score >= 1.0 > rows[2].score > 0
+    # phrase path: substring tf, no token gating
+    ph = keyword_search(df, "partner program", k=10).collect()
+    assert [r.url for r in ph] == ["u1"]
