@@ -25,10 +25,12 @@ REPORT_QUERIES = [
     "incremental_scan",     # watermark predicate pushdown
     "glob_filter",          # rlike + contains pushdown
     "minhash_lsh_pairs",    # shuffle-heavy self-join
+    "dedup_resolution",     # LSH pairs -> checkpointed min-label propagation
+    "jaccard_pairs_guarded",  # stop-shingle broadcast anti-join guard
     "embedding_dup_pairs_lsh",  # banded LSH blocking (the scale path)
     "point_get",            # S5 exact-key pruned scan
     "best_event_per_user",  # window dedup
-    "ann_ivf",              # sampled centroids — no global sort
+    "ann_ivf",              # shuffle-free packed-codebook assignment
     "smart_context",        # G6 composite, TakeOrderedAndProject
     "kg_triples",           # Arrow UDF stage + broadcast mapping joins
     "kg_search",            # codegen cosine scoring over literal query vec
