@@ -83,6 +83,7 @@ def embed_text(text: str) -> np.ndarray:
     ulp, which is fine: the kernel itself is the spec on both the
     pipeline and oracle sides).
     """
+    assert_embed_golden()  # once per process; no-op after first call
     mat = projection_matrix()
     toks = tokenize(text)
     if not toks:
@@ -105,23 +106,34 @@ def embed_text(text: str) -> np.ndarray:
 # is stable in practice but not API-guaranteed across numpy versions or
 # builds. A silent change would re-embed every vector differently, so
 # the exact 256 output bytes of a fixed probe are pinned and checked
-# once at session startup (session.get_spark) — numpy drift fails
-# loudly, up front, instead of as a week-later index mismatch.
+# once per PROCESS on the first embed_text call — that covers every
+# executor's Python worker (where the Arrow-UDF embedding actually
+# runs, so a driver/executor numpy skew fails too), and
+# session.get_spark additionally runs it at driver startup for
+# fail-fast — numpy drift errors loudly, up front, instead of as a
+# week-later index mismatch.
 _GOLDEN_PROBE = "the quick brown fox jumps over the lazy dog 42"
 _GOLDEN_MD5 = "dabdeaa3ba5945571b7b06ef8e7550cc"
+_golden_checked = False
 
 
 def assert_embed_golden() -> None:
-    """Raise if embed_text's bytes drifted from the pinned golden."""
+    """Raise if embed_text's bytes drifted from the pinned golden.
+    Runs at most once per process (flag set before embedding the probe
+    so the internal embed_text call cannot recurse)."""
+    global _golden_checked
+    if _golden_checked:
+        return
+    _golden_checked = True
     got = hashlib.md5(embed_text(_GOLDEN_PROBE).tobytes()).hexdigest()
     if got != _GOLDEN_MD5:
         import numpy
 
         raise RuntimeError(
             f"embed_text determinism drift: golden md5 {_GOLDEN_MD5} "
-            f"!= {got} (numpy {numpy.__version__}) — the installed "
-            "numpy's reduction order differs from the pinned contract; "
-            "embeddings produced now would not match existing indexes")
+            f"!= {got} (numpy {numpy.__version__}) — this process's "
+            "numpy reduction order differs from the pinned contract; "
+            "embeddings produced here would not match existing indexes")
 
 
 def cosine(a: np.ndarray, b: np.ndarray) -> float:

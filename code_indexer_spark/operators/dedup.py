@@ -94,6 +94,15 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     sh = word_shingles_df(docs, id_col, text_col, k)
     if max_df is not None:
+        # the guarded plan reads the shingle table from three distinct
+        # subtrees (hot-set agg, per-doc sizes, self-join) — persist it
+        # so tokenize+explode+distinct runs once, not once per subtree
+        # (the join sides themselves dedupe via ReuseExchange, the
+        # aggregates do not); MEMORY_AND_DISK: at the 100 TB shape this
+        # spills instead of evicting-and-recomputing
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
                .filter(F.col("_df") > max_df).select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")

@@ -73,21 +73,36 @@ def semantic_search(
 
     Filtered approximate search over-fetches (T3): when a payload
     filter or score threshold is combined with the 'fast'/'balanced'
-    profiles, the candidate net widens by the reference's k-banded
-    multiplier (<=5 -> 20x, <=10 -> 15x, <=20 -> 10x, else 5x —
-    temporal_search_service.py:265-293; prefetch_limit
-    filesystem_vector_store.py:2968-2970): 'fast' probes Hamming-2
+    profiles, the candidate net widens — 'fast' probes Hamming-2
     instead of Hamming-1 buckets, 'balanced' widens the vbucket prefix
-    family 16x. If even the widened net yields fewer than k surviving
-    rows, ``adaptive=True`` falls back to the exact 'high' scan — a
-    selective filter can never silently starve the top-k."""
+    family 16x — for EVERY k, since the reference's k-banded
+    multiplier is at least 5x at all k (<=5 -> 20x, <=10 -> 15x,
+    <=20 -> 10x, else 5x — temporal_search_service.py:265-293;
+    prefetch_limit filesystem_vector_store.py:2968-2970). If even the
+    widened net yields fewer than k surviving rows, ``adaptive=True``
+    falls back to the exact 'high' scan — a selective filter can never
+    silently starve the top-k.
+
+    Contract note: with ``adaptive=True`` (the default) a FILTERED
+    approximate search is a query-time API — it executes eagerly and
+    returns a materialized, point-in-time <=k-row result (so the
+    common enough-rows case pays the approximate job exactly once,
+    and the starvation check is possible at all). It is NOT a lazy
+    view over the chunks table; callers composing plans (or rendering
+    them with explain) should pass ``adaptive=False`` or use the
+    exact 'high' profile, both of which stay fully lazy."""
     if filter_spec:
         conflicts = detect_filter_conflicts(filter_spec)
         if conflicts:
             raise ValueError(f"contradictory filter: {conflicts}")
 
     has_filter = bool(filter_spec) or score_threshold is not None
-    widen = has_filter and overfetch_multiplier(k) >= 10
+    # every filtered approximate query widens (the band multiplier is
+    # >= 5x for ALL k, so the net is always Hamming-2 / the 16x prefix
+    # family when a filter is present); the k-band governs the
+    # reference's candidate budget, and the adaptive fallback below
+    # keeps the k-row guarantee where even the widened net starves
+    widen = has_filter
     qv = _query_vec_lit(query_text)
     cand = chunks
     if accuracy == "fast":
@@ -187,18 +202,27 @@ def keyword_search(
 
     from ..functions.columns import identifiers
 
-    needle = query_text.lower()
+    # outer whitespace is never significant in an FTS query: trim it
+    # ONCE and use the same needle for the containment prefilter, the
+    # substring tf, the token path, and the snippet — otherwise a
+    # trailing space would silently drop every token-hit document
+    query = query_text.strip()
+    if not query:
+        return (chunks.filter(F.lit(False))
+                .withColumn("score", F.lit(0.0))
+                .withColumn("snippet", F.lit(None).cast("string"))
+                .select("url", "chunk_index", "score", "snippet"))
+    needle = query.lower()
     # escape: the query is a literal term, not a regex
     sub_tf = (F.length(F.lower("text"))
               - F.length(F.regexp_replace(F.lower("text"),
                                           re.escape(needle), ""))
               ) / max(len(needle), 1)
-    if query_text.strip() and not re.search(r"\s", query_text.strip()):
-        term = needle.strip()
+    if not re.search(r"\s", query):
         tok_tf = F.size(F.filter(
             identifiers("text"),
             lambda t: F.regexp_replace(
-                F.lower(t), "^[^a-z0-9]+|[^a-z0-9]+$", "") == term,
+                F.lower(t), "^[^a-z0-9]+|[^a-z0-9]+$", "") == needle,
         )).cast("double")
         score = tok_tf + sub_tf / (F.lit(1.0) + sub_tf)
     else:
@@ -206,7 +230,7 @@ def keyword_search(
     return (
         chunks.filter(F.lower("text").contains(needle))
         .withColumn("score", score.cast("double"))
-        .withColumn("snippet", snippet_expr("text", query_text))
+        .withColumn("snippet", snippet_expr("text", query))
         .orderBy(F.desc("score"), F.asc("url"), F.asc("chunk_index"))
         .limit(k)
         .select("url", "chunk_index", "score", "snippet")

@@ -138,3 +138,9 @@ def test_keyword_search_identifier_tokens_outrank_substring(spark):
     # phrase path: substring tf, no token gating
     ph = keyword_search(df, "partner program", k=10).collect()
     assert [r.url for r in ph] == ["u1"]
+    # outer whitespace is trimmed once, consistently: a trailing space
+    # must not drop token-hit documents from the containment prefilter
+    padded = keyword_search(df, "partner ", k=10).collect()
+    assert [r.url for r in padded] == [r.url for r in rows]
+    # pure-whitespace query returns nothing (not everything)
+    assert keyword_search(df, "   ", k=10).count() == 0
