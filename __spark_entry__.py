@@ -556,6 +556,16 @@ def q_quality_score(spark, sf_dir):
         .withColumnRenamed("id", "doc_id")
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021): duplicated-line
+    fraction, repeated-2gram occurrence fraction, top-token mass —
+    the degenerate/boilerplate gate that runs before dedup."""
+    from code_indexer_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents")) \
+        .withColumnRenamed("id", "doc_id")
+
+
 def q_token_counts(spark, sf_dir):
     from code_indexer_spark.operators.textstats import token_counts
 
@@ -1088,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "commit_agg": q_commit_agg,
         "langid": q_langid,
         "quality_score": q_quality_score,
+        "repetition_signals": q_repetition_signals,
         "token_counts": q_token_counts,
         "top_tokens": q_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1906,6 +1917,41 @@ def oracle_sql() -> dict[str, str]:
                     WHEN de_ratio = greatest(en_ratio, de_ratio, fr_ratio) THEN 'de'
                     ELSE 'fr' END AS lang_guess
         FROM r
+    """
+
+    sqls["repetition_signals"] = f"""
+        WITH {_TOKS},
+        base AS (
+            SELECT doc_id, t,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              x -> trim(x)),
+                               x -> x <> '') AS lines,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(range(0, len(t) - 1),
+                                            i -> t[i + 1] || ' ' || t[i + 2])
+                        ELSE [] END AS grams
+            FROM toks
+        ),
+        narrow AS (
+            SELECT doc_id,
+                   len(t) AS n_toks,
+                   len(lines) AS n_lines,
+                   round((len(lines) - len(list_distinct(lines)))::DOUBLE
+                         / greatest(len(lines), 1), 6) AS dup_line_frac,
+                   round((len(grams) - len(list_distinct(grams)))::DOUBLE
+                         / greatest(len(grams), 1), 6) AS dup_2gram_frac
+            FROM base
+        ),
+        tok_counts AS (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+            GROUP BY doc_id, tok
+        ),
+        top AS (SELECT doc_id, max(c) AS topc FROM tok_counts GROUP BY doc_id)
+        SELECT n.doc_id, n.n_lines, n.dup_line_frac, n.dup_2gram_frac,
+               round(coalesce(top.topc, 0)::DOUBLE
+                     / greatest(n.n_toks, 1), 6) AS top_token_frac
+        FROM narrow n LEFT JOIN top USING (doc_id)
     """
 
     sqls["quality_score"] = f"""

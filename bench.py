@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "top_customers",
     "quality_score",
+    "repetition_signals",
     "fingerprints",
 ]
 

@@ -260,3 +260,66 @@ def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
         counts.append(n.alias(f"n_{name}s"))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.select("id", scrubbed.alias("text_scrubbed"), *counts)
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, n_lines, dup_line_frac, dup_2gram_frac, top_token_frac) —
+    the Gopher repetition filters (Rae et al. 2021, table A1): text
+    with a high fraction of duplicated lines / repeated n-grams / one
+    dominating token is boilerplate or degenerate generation, and
+    training-data pipelines drop it before dedup even runs.
+
+    - dup_line_frac: fraction of non-empty trimmed lines that repeat
+      an earlier line;
+    - dup_2gram_frac: fraction of token-2gram OCCURRENCES beyond each
+      2gram's first (counts multiplicity, unlike the distinct-shingle
+      dedup ops);
+    - top_token_frac: the most frequent token's share of all tokens
+      (ties irrelevant — only the max count is used).
+
+    Shape: line/2gram stats are a narrow projection (array math on the
+    row); top_token_frac is one explode + two partial-agg groupBys on
+    (id, token) then id — slim rows, the standard word-count shuffle —
+    joined back to the narrow side on id. All fractions rounded to 6
+    so the DuckDB oracle reproduces them exactly.
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    n_lines = F.size(lines)
+    n_dist_lines = F.size(F.array_distinct(lines))
+    toks = tokens_expr(text_col)
+    n_toks = F.size(toks)
+    grams = F.when(
+        n_toks >= 2,
+        F.transform(F.sequence(F.lit(0), n_toks - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    n_dist_grams = F.size(F.array_distinct(grams))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        F.round((n_lines - n_dist_lines)
+                / F.greatest(n_lines, F.lit(1)), 6).alias("dup_line_frac"),
+        F.round((n_grams - n_dist_grams)
+                / F.greatest(n_grams, F.lit(1)), 6).alias("dup_2gram_frac"),
+        n_toks.alias("_n_toks"),
+    )
+    top = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(tokens_expr(text_col)).alias("tok"))
+        .groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id").agg(F.max("c").alias("_top"))
+    )
+    return (
+        base.join(top, "id", "left")
+        .select(
+            "id", "n_lines", "dup_line_frac", "dup_2gram_frac",
+            F.round(F.coalesce(F.col("_top"), F.lit(0))
+                    / F.greatest(F.col("_n_toks"), F.lit(1)), 6)
+            .alias("top_token_frac"),
+        )
+    )

@@ -83,6 +83,25 @@ def test_dedup_resolution_clusters(spark):
                    7: (7, True), 8: (7, False)}
 
 
+def test_repetition_signals(spark):
+    """Gopher repetition filters pinned on a hand-built degenerate doc."""
+    from code_indexer_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),            # one token dominates
+         (2, "a b\nc d\na b\n\n a b "),        # 'a b' line repeats twice
+         (3, "all tokens here are distinct")],
+        ["doc_id", "text"])
+    got = {r.id: r for r in repetition_signals(df).collect()}
+    assert got[1].top_token_frac == 1.0
+    # 4 tokens -> 3 bigrams, all 'spam spam' -> 2/3 repeats
+    assert got[1].dup_2gram_frac == 0.666667
+    assert got[2].n_lines == 4 and got[2].dup_line_frac == 0.5
+    assert got[3].dup_line_frac == 0.0
+    assert got[3].dup_2gram_frac == 0.0
+    assert got[3].top_token_frac == 0.2
+
+
 def test_brute_force_topk_and_lsh(spark):
     from code_indexer_spark.operators.similarity import brute_force_topk, lsh_topk
 
