@@ -305,7 +305,8 @@ def ngram_dup_spans(docs: DataFrame, id_col: str = "doc_id",
 
 
 def dedup_resolution(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", rounds: int = 4) -> DataFrame:
+                     text_col: str = "text", rounds: int = 4,
+                     until_converged: bool = False) -> DataFrame:
     """End-to-end duplicate-CLUSTER resolution — the full dedup story,
     not just pair emission: banded MinHash-LSH candidate pairs ->
     rounds-bounded min-label propagation -> one canonical keep id per
@@ -321,12 +322,15 @@ def dedup_resolution(docs: DataFrame, id_col: str = "doc_id",
     labels), `rounds` times — exact connected components whenever the
     component diameter <= rounds. LSH duplicate clusters are
     near-cliques (every member shares a band bucket with most others),
-    so 4 rounds covers real corpora; at 10^12 docs the same per-round
-    plan (one join + one groupBy shuffle on doc id, edge list never
-    collected) loops until a convergence check instead. The bounded
-    unrolling is what makes the operator cross-engine value-checkable:
-    the DuckDB oracle runs the identical recurrence. For general graphs
-    (not near-clique dup clusters) use
+    so 4 rounds covers real corpora; ``until_converged=True`` is the
+    10^12-doc mode — the same per-round plan (one join + one groupBy
+    shuffle on doc id, edge list never collected) loops until a round
+    changes zero labels (one count() action per round on the slim label
+    table; labels are checkpointed per round so lineage stays flat).
+    The bounded unrolling is what makes the DEFAULT cross-engine
+    value-checkable: the DuckDB oracle runs the identical recurrence,
+    and a pytest pins converged == rounds-bounded on the fixture. For
+    general graphs (not near-clique dup clusters) use
     operators.canonicalize's large-star/small-star instead."""
     pairs = lsh_candidate_pairs(docs, id_col, text_col)
     edges = (
@@ -339,20 +343,38 @@ def dedup_resolution(docs: DataFrame, id_col: str = "doc_id",
     # whole shingle->minhash->band subtree would re-execute per round
     edges = edges.localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
-    for _ in range(rounds):
+
+    def one_round(lbls):
         nbr = (
             edges.alias("e")
-            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+            .join(lbls.alias("l"), F.col("e.v") == F.col("l.u"))
             .groupBy(F.col("e.u").alias("u"))
             .agg(F.min("l.lbl").alias("nl"))
         )
-        labels = (
-            labels.alias("l")
+        return (
+            lbls.alias("l")
             .join(nbr.alias("n"), "u", "left")
             .select("u", F.least(
                 F.col("l.lbl"),
                 F.coalesce(F.col("n.nl"), F.col("l.lbl"))).alias("lbl"))
         )
+
+    if until_converged:
+        labels = labels.localCheckpoint(eager=True)
+        while True:
+            nxt = one_round(labels).localCheckpoint(eager=True)
+            changed = (
+                nxt.alias("a")
+                .join(labels.alias("b"), "u")
+                .filter(F.col("a.lbl") != F.col("b.lbl"))
+                .count()
+            )
+            labels = nxt
+            if changed == 0:
+                break
+    else:
+        for _ in range(rounds):
+            labels = one_round(labels)
     return labels.select(
         F.col("u").alias(id_col),
         F.col("lbl").alias("keep_id"),

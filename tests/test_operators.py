@@ -83,6 +83,27 @@ def test_dedup_resolution_clusters(spark):
                    7: (7, True), 8: (7, False)}
 
 
+def test_dedup_resolution_converged_equals_bounded(spark):
+    """until_converged (the 10^12-doc mode) must produce exactly the
+    rounds-bounded labeling on a long chain that NEEDS several rounds:
+    docs 1..6 all identical -> a 6-clique, plus a disjoint pair."""
+    from code_indexer_spark.operators.dedup import dedup_resolution
+
+    same = "one two three four five six"
+    other = "seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(i, same) for i in range(1, 7)] + [(10, other), (11, other)],
+        ["doc_id", "text"])
+    bounded = sorted((r.doc_id, r.keep_id, r.is_canonical)
+                     for r in dedup_resolution(df).collect())
+    conv = sorted((r.doc_id, r.keep_id, r.is_canonical)
+                  for r in dedup_resolution(
+                      df, until_converged=True).collect())
+    assert bounded == conv
+    assert (1, 1, True) in conv and (6, 1, False) in conv
+    assert (10, 10, True) in conv and (11, 10, False) in conv
+
+
 def test_repetition_signals(spark):
     """Gopher repetition filters pinned on a hand-built degenerate doc."""
     from code_indexer_spark.operators.textstats import repetition_signals
