@@ -123,6 +123,43 @@ def test_repetition_signals(spark):
     assert got[3].top_token_frac == 0.2
 
 
+def test_dedup_and_repetition_invariants_random_corpus(spark):
+    """Seeded random corpus: structural invariants that must hold for
+    ANY input — fractions bounded, components closed under keep_id."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 40))))
+            for i in range(60)]
+    # plant a few exact copies so resolution has clusters to find
+    docs += [(100 + i, docs[i][1]) for i in range(5)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    from code_indexer_spark.operators.dedup import dedup_resolution
+    from code_indexer_spark.operators.textstats import repetition_signals
+
+    rows = repetition_signals(df).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        for frac in (r.dup_line_frac, r.dup_2gram_frac, r.top_token_frac):
+            assert 0.0 <= frac <= 1.0, r
+        # single-line docs can never have duplicate lines
+        if r.n_lines <= 1:
+            assert r.dup_line_frac == 0.0
+
+    res = dedup_resolution(df).collect()
+    keep = {r.doc_id: r.keep_id for r in res}
+    for r in res:
+        assert r.keep_id <= r.doc_id          # min-id policy
+        assert r.is_canonical == (r.keep_id == r.doc_id)
+        assert keep[r.keep_id] == r.keep_id   # canonicals map to selves
+    # every planted copy resolves to its original's component
+    for i in range(5):
+        assert keep[100 + i] == keep[i]
+
+
 def test_brute_force_topk_and_lsh(spark):
     from code_indexer_spark.operators.similarity import brute_force_topk, lsh_topk
 
