@@ -65,11 +65,16 @@ def rrf_term(rank: Column | str, k: int = RRF_K) -> Column:
 
 
 def snippet(text: Column | str, needle: str, before: int = 30,
-            width: int = 65) -> Column:
+            width: int = 65, ci: bool = False) -> Column:
     """Context window around the first occurrence of ``needle``;
-    NULL when absent. 1-based substr like the reference's line slice."""
+    NULL when absent. 1-based substr like the reference's line slice.
+    ``ci=True`` locates the needle case-insensitively (position found
+    on the lowercased haystack, snippet cut from the ORIGINAL text) —
+    a case-insensitive search that displays snippets must use this, or
+    rows matched via lower() would get a NULL snippet."""
     c = F.col(text) if isinstance(text, str) else text
-    pos = F.instr(c, needle)
+    pos = (F.instr(F.lower(c), needle.lower()) if ci
+           else F.instr(c, needle))
     return F.when(
         pos > 0, F.substring(c, F.greatest(pos - before, F.lit(1)), width)
     )

@@ -43,14 +43,25 @@ def _ckpt_path(out_dir: str) -> str:
     return os.path.join(out_dir, "checkpoints.jsonl")
 
 
-def load_done(out_dir: str, stage: str) -> set[int]:
+def load_done(out_dir: str, stage: str,
+              input_fingerprint: str | None = None) -> set[int]:
+    """Completed slice ids for ``stage`` — matching on the input
+    fingerprint too when given: a slice committed under a different
+    (kg_dir, partitions) covers a DIFFERENT url set (the url->slice
+    hash changes with P), so skipping it on resume would both drop
+    urls (never extracted under the new P) and keep stale ones. A
+    fingerprint mismatch means the checkpoint rows are from a
+    different job configuration and must not satisfy this one."""
     path = _ckpt_path(out_dir)
     done: set[int] = set()
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
                 row = json.loads(line)
-                if row["stage"] == stage and row["status"] == "done":
+                if (row["stage"] == stage and row["status"] == "done"
+                        and (input_fingerprint is None
+                             or row.get("input_fingerprint")
+                             == input_fingerprint)):
                     done.add(row["partition_id"])
     return done
 
@@ -81,7 +92,23 @@ def run_triples_checkpointed(
     """
     os.makedirs(out_dir, exist_ok=True)
     triples_dir = os.path.join(out_dir, "triples")
-    done = load_done(out_dir, "triples")
+    fingerprint = f"{kg_dir}:pages:{partitions}"
+    done = load_done(out_dir, "triples", fingerprint)
+    # a config change (different kg_dir/partitions) leaves slice dirs
+    # from the OLD url->slice hashing on disk; the partition-discovering
+    # reader would pick them up as duplicates. Any slice dir not owned
+    # by a done row of THIS fingerprint is either stale (out of range,
+    # or from the old config) or about to be rewritten — drop it.
+    if os.path.isdir(triples_dir):
+        import shutil
+
+        for name in os.listdir(triples_dir):
+            if not name.startswith("work_pid="):
+                continue
+            pid = int(name.split("=")[1])
+            if pid not in done or pid >= partitions:
+                shutil.rmtree(os.path.join(triples_dir, name),
+                              ignore_errors=True)
 
     pages = with_work_partition(read_pages(spark, kg_dir), partitions)
     alias_bc = broadcast_alias_rows(spark, read_alias(spark, kg_dir))
@@ -129,7 +156,7 @@ def run_triples_checkpointed(
             rows_in=rows_in,
             rows_out=rows_out,
             wall_ms=int((time.monotonic() - t0) * 1000),
-            input_fingerprint=f"{kg_dir}:pages:{partitions}",
+            input_fingerprint=fingerprint,
             committed_at=datetime.now(timezone.utc).isoformat(),
         )
         completed += 1

@@ -97,12 +97,15 @@ def execute_parallel(primary: Provider, secondary: Provider,
     b = branch(secondary, "secondary")
     if a is None and b is None:
         raise RuntimeError("both providers failed")
-    if a is None or b is None:
-        alive = a if a is not None else b
-        return (alive.orderBy("rank").limit(limit)
-                .select(*key_cols, "rank", "score"))
-
-    u = a.unionByName(b)
+    # a dead branch degrades by running the SAME fusion over the one
+    # surviving branch — the output schema is identical to the healthy
+    # path (rrf_score/n_providers/providers, or score_a/score_b/fused
+    # with the dead side null), so consumers keep working on the exact
+    # day failover triggers; fuse_rrf just sums one provider, and the
+    # explicit pivot values below materialize the missing side as null
+    # (fuse_multiply: 0.5; fuse_average: single-side rule)
+    u = (a.unionByName(b) if a is not None and b is not None
+         else (a if a is not None else b))
     if fusion == "rrf":
         fused = fuse_rrf(u.select(*key_cols, "provider", "rank"), key_cols)
         order = [F.desc("rrf_score")] + [F.asc(c) for c in key_cols]

@@ -110,8 +110,7 @@ def semantic_search(
         # neighbors (same Hamming-1 policy as operators.similarity.
         # lsh_topk) — near-boundary queries keep their recall. The probe
         # ids are driver-side literals, so the filter is a pushable isin.
-        qb = int(cand.sparkSession.range(1).select(
-            lsh_bucket_expr_lit(query_text).alias("qb")).collect()[0]["qb"])
+        qb = query_bucket(query_text)
         probes = [qb] + [qb ^ (1 << i) for i in range(8)]
         if widen:
             # over-fetch: Hamming-2 shell too (37 of 256 buckets) —
@@ -164,19 +163,26 @@ def semantic_search(
     return topk
 
 
-def lsh_bucket_expr_lit(query_text: str):
-    """LSH bucket id of the query embedding, as a literal-input expr."""
-    qv = _query_vec_lit(query_text)
+def query_bucket(query_text: str) -> int:
+    """LSH bucket of the query embedding, computed ON THE DRIVER.
+
+    The values are already driver-side (the query embedding is one
+    vector), so launching a Spark job to evaluate the bucket expression
+    — as this used to — paid a job, a second embed, and a duplicated
+    copy of lsh_bucket_expr's plane loop for pure scalar math. The fold
+    below is the same left-to-right double accumulation the JVM
+    aggregate performs (Python floats ARE IEEE doubles), so the bucket
+    is bit-identical to lsh_bucket_expr evaluated on the same vector."""
     from ..operators.similarity import N_PLANES, _hyperplane_weights
 
-    weights = _hyperplane_weights(N_PLANES, 64)
-    out = F.lit(0)
+    v = [float(x) for x in embed_text(query_text)]
+    weights = _hyperplane_weights(N_PLANES, len(v))
+    out = 0
     for p in range(N_PLANES):
-        w = F.array(*[F.lit(x) for x in weights[p]])
-        proj = F.aggregate(
-            F.zip_with(qv, w, lambda x, y: x * y),
-            F.lit(0.0).cast("double"), lambda acc, x: acc + x)
-        out = F.shiftleft(out, 1) + F.when(proj > 0, 1).otherwise(0)
+        acc = 0.0
+        for x, w in zip(v, weights[p]):
+            acc += x * w
+        out = (out << 1) | (1 if acc > 0 else 0)
     return out
 
 
@@ -230,7 +236,7 @@ def keyword_search(
     return (
         chunks.filter(F.lower("text").contains(needle))
         .withColumn("score", score.cast("double"))
-        .withColumn("snippet", snippet_expr("text", query))
+        .withColumn("snippet", snippet_expr("text", query, ci=True))
         .orderBy(F.desc("score"), F.asc("url"), F.asc("chunk_index"))
         .limit(k)
         .select("url", "chunk_index", "score", "snippet")

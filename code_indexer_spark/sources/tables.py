@@ -66,12 +66,31 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     """S6 MERGE: source rows win on key collision; unmatched target rows
     survive. Returns the merged relation (caller writes it).
 
+    The source is first reduced to ONE row per key — a micro-batch can
+    legitimately carry the same key twice (a page updated twice inside
+    one debounce window, or a replayed file): identical duplicates
+    collapse via distinct(), and genuinely conflicting rows pick a
+    deterministic winner (max to_json of the non-key columns — a stable
+    total order that works for array/struct payloads too, where a bare
+    orderBy would reject the type). Iceberg's MERGE errors on multiple
+    source matches; reducing first keeps the upsert contract (one row
+    per key afterward) without failing the stream.
+
     Equivalent Iceberg: MERGE INTO t USING s ON <keys>
     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *.
     """
-    keep = target.join(source.select(*key_cols).distinct(),
+    from pyspark.sql import Window
+
+    other = [c for c in source.columns if c not in key_cols]
+    src = source.distinct()
+    if other:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(F.to_json(F.struct(*other))))
+        src = (src.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+    keep = target.join(src.select(*key_cols).distinct(),
                        on=key_cols, how="left_anti")
-    return keep.unionByName(source)
+    return keep.unionByName(src)
 
 
 def merge_upsert_clean_orphans(
@@ -98,13 +117,20 @@ def reconcile_status(indexed: DataFrame, current: DataFrame,
     added | deleted | changed | same. The work-list half of the
     reference's smart-indexer reconcile (smart_indexer.py:1323-1785),
     consumed by plans.pipeline.run_incremental."""
-    i = indexed.select(*key_cols, F.col(hash_col).alias("_h_idx"))
-    c = current.select(*key_cols, F.col(hash_col).alias("_h_cur"))
+    # presence is tracked with explicit marker columns, NOT hash
+    # nullness: a legitimately-null hash (md5 of a null payload) on the
+    # indexed side would otherwise misreport a deleted url as 'added'
+    i = indexed.select(*key_cols, F.col(hash_col).alias("_h_idx"),
+                       F.lit(True).alias("_in_idx"))
+    c = current.select(*key_cols, F.col(hash_col).alias("_h_cur"),
+                       F.lit(True).alias("_in_cur"))
     j = i.join(c, key_cols, "full_outer")
     status = (
-        F.when(F.col("_h_idx").isNull(), F.lit("added"))
-        .when(F.col("_h_cur").isNull(), F.lit("deleted"))
-        .when(F.col("_h_idx") == F.col("_h_cur"), F.lit("same"))
+        F.when(F.col("_in_idx").isNull(), F.lit("added"))
+        .when(F.col("_in_cur").isNull(), F.lit("deleted"))
+        # null-safe equality: two null hashes on a both-present key are
+        # 'same', not 'changed' (eqNullSafe), matching re-index intent
+        .when(F.col("_h_idx").eqNullSafe(F.col("_h_cur")), F.lit("same"))
         .otherwise(F.lit("changed"))
     )
     return j.select(*key_cols, status.alias("status"))

@@ -112,7 +112,11 @@ def stateful_site_counts(pages_stream: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n_new += len(pdf)
             m = pdf["warc_ts"].max()
-            batch_ts = m if batch_ts is None else max(batch_ts, m)
+            # an all-null batch yields NaT (not None): folding it in
+            # would store epoch-min micros and blow up the output
+            # Timestamp — treat it as "no timestamp seen this batch"
+            if not pd.isna(m):
+                batch_ts = m if batch_ts is None else max(batch_ts, m)
         if state.exists:
             n_pages, n_batches, last_us = state.get
         else:
@@ -135,8 +139,10 @@ def stateful_site_counts(pages_stream: DataFrame) -> DataFrame:
 
     import pyspark.sql.functions as F2
 
+    # no trailing '/' in the pattern: host-only urls (https://a.com, a
+    # common crawl form) must group under their host, not under ''
     sited = pages_stream.withColumn(
-        "site", F2.regexp_extract("url", r"https?://([^/]+)/", 1))
+        "site", F2.regexp_extract("url", r"https?://([^/]+)", 1))
     return sited.groupBy("site").applyInPandasWithState(
         update, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="update", timeoutConf="NoTimeout",
@@ -157,7 +163,8 @@ def windowed_page_rates(pages_stream: DataFrame) -> DataFrame:
 
 
 def run_merge_sink(stream_df: DataFrame, table_dir: str,
-                   key_cols: list[str], checkpoint_dir: str):
+                   key_cols: list[str], checkpoint_dir: str,
+                   scope_cols: list[str] | None = None):
     """foreachBatch MERGE sink: every micro-batch upserts into a
     versioned snapshot table (sources.tables.write_snapshot /
     merge_upsert) — the production shape of the reference's incremental
@@ -172,17 +179,35 @@ def run_merge_sink(stream_df: DataFrame, table_dir: str,
     MERGE INTO that rewrites only the data files holding matched keys
     (merge-on-read) — the seam is sources/tables, nothing here changes.
 
+    ``scope_cols`` enables orphan cleanup (recommended for
+    content-addressed keys like triple_id, with scope_cols=['src_url']):
+    the batch fully REPLACES the target rows of every scope group it
+    touches (merge_upsert_clean_orphans), so a re-ingested page's stale
+    old-content rows are deleted — the reference deletes a re-indexed
+    file's old points the same way (:1148-1241). Without it, a changed
+    page's old content-keyed rows never collide with the new keys and
+    accumulate forever.
+
     Uses availableNow (drain) semantics; returns the StreamingQuery."""
     import os
 
     from ..sources.tables import (
-        merge_upsert, read_snapshot, snapshot_versions, write_snapshot)
+        merge_upsert, merge_upsert_clean_orphans, read_snapshot,
+        write_snapshot)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if snapshot_versions(table_dir):
+        # replay guard on the _VERSION pointer, not on v=* dirs: a crash
+        # between a snapshot dir write and the pointer flip must replay
+        # into "first batch" semantics — v=1 may exist half-written, but
+        # only the pointer marks a committed snapshot readers can see
+        if os.path.exists(os.path.join(table_dir, "_VERSION")):
             target = read_snapshot(spark, table_dir)
-            merged = merge_upsert(target, batch_df, key_cols)
+            if scope_cols:
+                merged = merge_upsert_clean_orphans(
+                    target, batch_df, scope_cols)
+            else:
+                merged = merge_upsert(target, batch_df, key_cols)
         else:
             merged = batch_df
         write_snapshot(merged, table_dir)

@@ -79,3 +79,18 @@ def test_parallel_multiply_average(spark, docs):
         assert len(got) == 7
         vals = [r.fused for r in got]
         assert vals == sorted(vals, reverse=True)
+
+
+def test_parallel_degraded_schema_matches_healthy(spark, docs):
+    """The day failover actually triggers, consumers must keep working:
+    the degraded single-branch result carries the SAME columns as the
+    healthy fused result, for every fusion mode."""
+    from code_indexer_spark.plans.providers import execute_parallel
+
+    for mode in ("rrf", "multiply", "average"):
+        healthy = execute_parallel(_p(docs, "sa"), _p(docs, "sb"),
+                                   fusion=mode, limit=5)
+        degraded = execute_parallel(_p(docs, "sa"), _boom,
+                                    fusion=mode, limit=5)
+        assert degraded.columns == healthy.columns, mode
+        assert degraded.count() == 5, mode

@@ -112,3 +112,32 @@ def test_reconcile_incremental(spark, kg_small):
         prior.columns)
     out = run_incremental(spark, kg, prior.unionByName(ghost_row), ghost)
     assert out.filter(F.col("src_url") == "https://gone.example/x").count() == 0
+
+
+def test_resume_config_change_rebuilds(spark, kg_small, tmp_path):
+    """Resume after a PARTITIONS change must not mix slices from two
+    url->slice hashings: the fingerprint mismatch voids the old done
+    set, stale slice dirs are pruned, and the result equals a clean
+    run at the new configuration."""
+    from code_indexer_spark.plans.checkpoint import (
+        load_done, run_triples_checkpointed)
+
+    clean_dir = str(tmp_path / "clean6")
+    run_triples_checkpointed(spark, kg_small, clean_dir, partitions=6)
+    expect = _table_hash(spark, os.path.join(clean_dir, "triples"))
+
+    mixed_dir = str(tmp_path / "mixed")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_triples_checkpointed(spark, kg_small, mixed_dir, partitions=9,
+                                 fail_after=3)
+    # config change: resume with 6 partitions — the 3 slices committed
+    # under P=9 must NOT satisfy the P=6 run
+    assert load_done(mixed_dir, "triples",
+                     f"{kg_small}:pages:6") == set()
+    run_triples_checkpointed(spark, kg_small, mixed_dir, partitions=6)
+    got = _table_hash(spark, os.path.join(mixed_dir, "triples"))
+    assert got == expect
+    # no stale work_pid dirs from the P=9 attempt survive (pid 6..8)
+    dirs = {d for d in os.listdir(os.path.join(mixed_dir, "triples"))
+            if d.startswith("work_pid=")}
+    assert dirs == {f"work_pid={i}" for i in range(6)}

@@ -144,3 +144,33 @@ def test_keyword_search_identifier_tokens_outrank_substring(spark):
     assert [r.url for r in padded] == [r.url for r in rows]
     # pure-whitespace query returns nothing (not everything)
     assert keyword_search(df, "   ", k=10).count() == 0
+
+
+def test_query_bucket_matches_jvm_expression(spark):
+    """Driver-side query_bucket must be bit-identical to the JVM
+    lsh_bucket_expr evaluated over the same literal vector."""
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.kernel.embed import embed_text
+    from code_indexer_spark.operators.similarity import lsh_bucket_expr
+    from code_indexer_spark.plans.search import query_bucket
+
+    for q in ("partners and acquisitions", "café résumé", "x"):
+        v = [float(x) for x in embed_text(q)]
+        jvm = (spark.range(1)
+               .select(F.array(*[F.lit(x) for x in v]).alias("v"))
+               .select(lsh_bucket_expr("v").alias("b")).collect()[0]["b"])
+        assert query_bucket(q) == jvm, q
+
+
+def test_keyword_search_snippet_case_insensitive(spark):
+    """A row matched case-insensitively must still get a snippet cut
+    from the ORIGINAL text (position found on the lowercased copy)."""
+    from code_indexer_spark.plans.search import keyword_search
+
+    df = spark.createDataFrame(
+        [("u1", 0, "Parse the HTML tree with Parser tools")],
+        ["url", "chunk_index", "text"])
+    rows = keyword_search(df, "parse", k=5).collect()
+    assert rows and rows[0].snippet is not None
+    assert "Parse" in rows[0].snippet

@@ -131,7 +131,7 @@ def test_stateful_site_counts(spark, kg_small, pages_stream_dir, tmp_path):
     )
     expect = (
         spark.read.parquet(f"{kg_small}/pages.parquet")
-        .withColumn("site", F.regexp_extract("url", r"https?://([^/]+)/", 1))
+        .withColumn("site", F.regexp_extract("url", r"https?://([^/]+)", 1))
         .groupBy("site").agg(F.count(F.lit(1)).alias("n"))
     )
     j = got.join(expect.withColumnRenamed("n", "n_expect"), "site").collect()
@@ -186,3 +186,62 @@ def test_merge_sink_snapshots(spark, kg_small, pages_stream_dir, tmp_path):
     again = read_snapshot(spark, table)
     assert again.count() == again.select("triple_id").distinct().count()
     assert {r.triple_id for r in again.select("triple_id").collect()} == want
+
+
+def test_stateful_site_counts_all_null_timestamps(spark, tmp_path):
+    """A micro-batch whose warc_ts values are ALL null must not crash
+    the stateful operator (pandas max() yields NaT, not None) nor
+    regress the state: counts advance, last_warc_ts stays null."""
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.streaming.watch import (
+        PAGES_SCHEMA, read_pages_stream, stateful_site_counts)
+
+    rows = [("https://nullts.example/a", None, None, "t1", "en"),
+            ("https://nullts.example/b", None, None, "t2", "en"),
+            ("https://nullts.example", None, None, "t3", "en")]
+    src = str(tmp_path / "null_ts_pages")
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+        .write.parquet(src)
+    counts = stateful_site_counts(read_pages_stream(spark, src))
+    q = (
+        counts.writeStream.format("memory").queryName("null_ts_counts")
+        .option("checkpointLocation", str(tmp_path / "nck"))
+        .trigger(availableNow=True).outputMode("update").start()
+    )
+    q.awaitTermination()
+    got = spark.table("null_ts_counts").collect()
+    # host-only url (no path) groups under its host, not under ''
+    assert {r.site for r in got} == {"nullts.example"}
+    assert sum(r.n_pages_total for r in got) >= 3
+    assert all(r.last_warc_ts is None for r in got)
+
+
+def test_merge_sink_recovers_from_torn_first_snapshot(
+        spark, kg_small, pages_stream_dir, tmp_path):
+    """Crash between the first snapshot's dir write and the _VERSION
+    pointer flip: on replay the sink must treat the table as empty
+    (the pointer IS the commit), not crash reading a pointer that was
+    never written."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.streaming.watch import (
+        read_pages_stream, run_merge_sink, stream_chunks)
+    from code_indexer_spark.sources.tables import read_snapshot
+
+    table_dir = str(tmp_path / "torn_table")
+    # simulate the torn write: a half-written v=1 dir, no _VERSION
+    os.makedirs(os.path.join(table_dir, "v=1"))
+    spark.createDataFrame([("junk",)], ["partial"]).coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(table_dir, "v=1"))
+
+    chunks = stream_chunks(read_pages_stream(spark, pages_stream_dir))
+    run_merge_sink(chunks, table_dir, ["point_id"],
+                   str(tmp_path / "torn_ck"))
+    final = read_snapshot(spark, table_dir)
+    assert "partial" not in final.columns
+    assert final.count() > 0
+    # committed rows are the real chunk rows, unique per key
+    assert final.select("point_id").distinct().count() == final.count()

@@ -105,3 +105,35 @@ def test_snapshot_write_and_time_travel(spark, tmp_path):
     assert latest == {(1, "a2"), (3, "c")}
     old = {(r.k, r.v) for r in read_snapshot(spark, t, version=1).collect()}
     assert old == {(1, "a"), (2, "b")}
+
+
+def test_merge_upsert_intra_source_duplicate_keys(spark):
+    """One micro-batch carrying the same key twice (replayed file or a
+    page updated twice inside a debounce window) must commit exactly
+    one row per key, with a deterministic winner."""
+    target = spark.createDataFrame([(1, "old1")], ["k", "v"])
+    source = spark.createDataFrame(
+        [(1, "newA"), (1, "newB"), (1, "newB"), (2, "x")], ["k", "v"])
+    rows = merge_upsert(target, source, ["k"]).collect()
+    got = {(r.k, r.v) for r in rows}
+    assert len(rows) == 2
+    # deterministic winner: max to_json of non-key cols -> "newB"
+    assert got == {(1, "newB"), (2, "x")}
+
+
+def test_reconcile_status_null_hash_presence(spark):
+    """Presence comes from side markers, never hash nullness: a
+    null-hash indexed row whose key vanished is 'deleted' (not
+    'added'), and a both-sides-null-hash key is 'same'."""
+    from code_indexer_spark.sources.tables import reconcile_status
+
+    indexed = spark.createDataFrame(
+        [("u1", None), ("u2", "h2"), ("u3", None)],
+        "k string, h string")
+    current = spark.createDataFrame(
+        [("u2", "h2x"), ("u3", None), ("u4", "h4")],
+        "k string, h string")
+    got = {r.k: r.status
+           for r in reconcile_status(indexed, current, ["k"]).collect()}
+    assert got == {"u1": "deleted", "u2": "changed",
+                   "u3": "same", "u4": "added"}
