@@ -1201,14 +1201,17 @@ def oracle_sql() -> dict[str, str]:
                                x -> x <> '') AS t
             FROM corpus
         ),
-        shingles AS (
+        shingles0 AS (
             SELECT DISTINCT doc_id,
                    CASE WHEN len(t) >= 3
                         THEN array_to_string(t[i:i+2], ' ')
                         ELSE array_to_string(t, ' ') END AS shingle
             FROM toks, generate_series(1, 100000) AS g(i)
             WHERE i <= greatest(len(t) - 2, 1)
-        )
+        ),
+        -- empty/whitespace-only docs must contribute NO shingles
+        -- (kernel.hashes.word_shingles parity), not one '' shingle
+        shingles AS (SELECT * FROM shingles0 WHERE shingle <> '')
     """
 
     sqls["jaccard_pairs"] = f"""
@@ -1270,6 +1273,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE array_to_string(t, ' ') END AS shingle
             FROM toks, generate_series(1, 100000) AS g(i)
             WHERE i <= greatest(len(t) - 9, 1)
+              AND (CASE WHEN len(t) >= 10
+                        THEN array_to_string(t[i:i+9], ' ')
+                        ELSE array_to_string(t, ' ') END) <> ''
         )
         SELECT md5(shingle) AS span_hash,
                count(DISTINCT doc_id) AS n_docs,
@@ -1292,6 +1298,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE array_to_string(t, ' ') END AS shingle
             FROM toks, generate_series(1, 100000) AS g(i)
             WHERE i <= greatest(len(t) - 2, 1)
+              AND (CASE WHEN len(t) >= 3
+                        THEN array_to_string(t[i:i+2], ' ')
+                        ELSE array_to_string(t, ' ') END) <> ''
         ),
         mh AS (
             SELECT doc_id, seed,
@@ -1674,14 +1683,19 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["score_gate"] = f"""
         WITH s AS ({_SCORED_SQL}),
-        m AS (SELECT max(score_a) AS max_a, max(score_b) AS max_b FROM s)
-        SELECT doc_id, round(score_a, 6) AS score_a,
-               round(score_b, 6) AS score_b
-        FROM s, m
-        WHERE CASE
-            WHEN max_b < max_a * 0.80 THEN score_b >= max_a * 0.70
-            WHEN max_a < max_b * 0.80 THEN score_a >= max_b * 0.70
-            ELSE TRUE END
+        m AS (SELECT max(score_a) AS max_a, max(score_b) AS max_b FROM s),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN max_a < max_b * 0.80
+                             AND score_a < max_b * 0.70
+                        THEN NULL ELSE round(score_a, 6) END AS score_a,
+                   CASE WHEN max_b < max_a * 0.80
+                             AND score_b < max_a * 0.70
+                        THEN NULL ELSE round(score_b, 6) END AS score_b
+            FROM s, m
+        )
+        SELECT doc_id, score_a, score_b FROM g
+        WHERE score_a IS NOT NULL OR score_b IS NOT NULL
     """
 
     sqls["fuse_multiply"] = f"""
@@ -2004,12 +2018,12 @@ def oracle_sql() -> dict[str, str]:
                    '<EMAIL>', 'g'),
                    'https?://[^\s]+', '<URL>', 'g'),
                    '[0-9]{9,}', '<NUM>', 'g')) AS scrub_hash,
-               len(string_split(regexp_replace(t,
+               len(string_split(regexp_replace(replace(t, chr(1), ''),
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                    chr(1), 'g'), chr(1))) - 1 AS n_emails,
-               len(string_split(regexp_replace(t,
+               len(string_split(regexp_replace(replace(t, chr(1), ''),
                    'https?://[^\s]+', chr(1), 'g'), chr(1))) - 1 AS n_urls,
-               len(string_split(regexp_replace(t,
+               len(string_split(regexp_replace(replace(t, chr(1), ''),
                    '[0-9]{9,}', chr(1), 'g'), chr(1))) - 1 AS n_longnums
         FROM w
     """
@@ -2199,8 +2213,8 @@ def oracle_sql() -> dict[str, str]:
                    list_filter(
                        list_transform(
                            regexp_extract_all(m, '!\[[^\]]*\]\(([^)]+)\)', 1),
-                           x -> regexp_replace(trim(x), '^/+', '')),
-                       x -> NOT (starts_with(x, 'http://')
+                           x -> regexp_replace(trim(x), '^(\./|/)+', '')),
+                       x -> x <> '' AND NOT (starts_with(x, 'http://')
                                  OR starts_with(x, 'https://'))) AS refs
             FROM md
         )

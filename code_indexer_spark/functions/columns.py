@@ -82,16 +82,19 @@ def snippet(text: Column | str, needle: str, before: int = 30,
 
 def markdown_image_refs(text: Column | str) -> Column:
     """P4 markdown image refs as a JVM-side expression: every
-    ``![alt](src)`` capture, trimmed, leading slashes stripped
-    (site-root-relative), remote http(s) URLs dropped — the Column twin
-    of kernel.extract.extract_markdown_images (which additionally walks
-    '..' segments; refs containing '..' are rare and handled on the
-    Python extract path). Reference: image_extractor.py:162-210."""
+    ``![alt](src)`` capture, trimmed, leading '/' and './' runs
+    stripped (site-root-relative / same-dir-relative), refs that
+    normalize to EMPTY dropped alongside remote http(s) URLs — the
+    Column twin of kernel.extract.extract_markdown_images (which
+    additionally walks INTERIOR '.'/'..' segments; such refs are rare
+    and handled on the Python extract path).
+    Reference: image_extractor.py:162-210."""
     c = F.col(text) if isinstance(text, str) else text
     refs = F.regexp_extract_all(c, F.lit(r"!\[[^\]]*\]\(([^)]+)\)"), 1)
     cleaned = F.transform(
-        refs, lambda s: F.regexp_replace(F.trim(s), "^/+", ""))
+        refs, lambda s: F.regexp_replace(F.trim(s), r"^(\./|/)+", ""))
     return F.filter(
         cleaned,
-        lambda s: ~s.startswith("http://") & ~s.startswith("https://"),
+        lambda s: (s != "")
+        & ~s.startswith("http://") & ~s.startswith("https://"),
     )

@@ -115,25 +115,32 @@ def embed_text(text: str) -> np.ndarray:
 _GOLDEN_PROBE = "the quick brown fox jumps over the lazy dog 42"
 _GOLDEN_MD5 = "dabdeaa3ba5945571b7b06ef8e7550cc"
 _golden_checked = False
+_golden_error: Exception | None = None
 
 
 def assert_embed_golden() -> None:
     """Raise if embed_text's bytes drifted from the pinned golden.
-    Runs at most once per process (flag set before embedding the probe
-    so the internal embed_text call cannot recurse)."""
-    global _golden_checked
+    The probe embeds at most once per process (flag set before the
+    internal embed_text call so it cannot recurse) — but a detected
+    drift is LATCHED and re-raised on EVERY later call: a caller that
+    catches the first error must not be handed silently-drifted vectors
+    on retry (the exact mismatch the pin exists to prevent)."""
+    global _golden_checked, _golden_error
     if _golden_checked:
+        if _golden_error is not None:
+            raise _golden_error
         return
     _golden_checked = True
     got = hashlib.md5(embed_text(_GOLDEN_PROBE).tobytes()).hexdigest()
     if got != _GOLDEN_MD5:
         import numpy
 
-        raise RuntimeError(
+        _golden_error = RuntimeError(
             f"embed_text determinism drift: golden md5 {_GOLDEN_MD5} "
             f"!= {got} (numpy {numpy.__version__}) — this process's "
             "numpy reduction order differs from the pinned contract; "
             "embeddings produced here would not match existing indexes")
+        raise _golden_error
 
 
 def cosine(a: np.ndarray, b: np.ndarray) -> float:

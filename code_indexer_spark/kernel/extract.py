@@ -42,8 +42,13 @@ ENCODING_CASCADE = ("utf-8", "utf-8-sig", "latin-1", "cp1252")
 IMG_SUPPORTED_FORMATS = frozenset({".png", ".jpg", ".jpeg", ".webp", ".gif"})
 
 
-def decode_bytes(raw: bytes) -> str:
-    """Decode bytes via the reference's encoding cascade."""
+def decode_bytes(raw: bytes | None) -> str:
+    """Decode bytes via the reference's encoding cascade. A NULL html
+    cell (nullable binary column — present in crawl data) decodes to
+    the empty string: one missing page must degrade to zero chunks and
+    zero triples, never crash the whole Arrow batch's task."""
+    if raw is None:
+        return ""
     for enc in ENCODING_CASCADE:
         try:
             return raw.decode(enc)

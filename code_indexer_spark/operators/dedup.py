@@ -51,7 +51,13 @@ def tokens_expr(text_col: str):
 
 def word_shingles_df(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 3) -> DataFrame:
-    """(id, shingle) — distinct k-word shingles per document."""
+    """(id, shingle) — distinct k-word shingles per document.
+
+    Empty/whitespace-only documents contribute NO shingles (matching
+    kernel.hashes.word_shingles, which returns the empty set) — without
+    the filter below they'd emit one '' shingle, making every pair of
+    empty docs a phantom jac=1.0 "near-duplicate" and breaking the
+    kernel-parity contract of minhash_long/fingerprints."""
     toks = docs.select(F.col(id_col).alias("id"),
                        tokens_expr(text_col).alias("toks"))
     n = F.size("toks")
@@ -66,7 +72,7 @@ def word_shingles_df(docs: DataFrame, id_col: str = "doc_id",
                 ),
             ).otherwise(F.array(F.concat_ws(" ", "toks")))
         ).alias("shingle"),
-    )
+    ).filter(F.col("shingle") != "")
     return sh.distinct()
 
 
@@ -204,15 +210,13 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
 
     Norms are computed ONCE per row before the join (not per pair) —
     cuts ~2/3 of the per-pair array work."""
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x),
-        F.lit(0.0).cast("double"), lambda acc, x: acc + x))
+    from .similarity import _norm as norm
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                    norm(F.col(vec_col)).alias("na"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                    norm(F.col(vec_col)).alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    from .similarity import _dot
+    dot = _dot(F.col("va"), F.col("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -265,15 +269,13 @@ def embedding_dup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x),
-        F.lit(0.0).cast("double"), lambda acc, x: acc + x))
+    from .similarity import _norm as norm
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                     norm(F.col(vec_col)).alias("na"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                     norm(F.col(vec_col)).alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    from .similarity import _dot
+    dot = _dot(F.col("va"), F.col("vb"))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 4))

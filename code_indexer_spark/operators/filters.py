@@ -18,7 +18,8 @@ from pyspark.sql import Column
 
 def glob_to_regex(pattern: str) -> str:
     """Glob -> anchored regex: ``**`` any path, ``*`` non-separator run,
-    ``?`` one char, ``[seq]`` class (path_pattern_matcher.py parity)."""
+    ``?`` one char, ``[seq]`` / ``[!seq]`` classes
+    (path_pattern_matcher.py parity)."""
     out = []
     i = 0
     while i < len(pattern):
@@ -36,7 +37,16 @@ def glob_to_regex(pattern: str) -> str:
             if j == -1:
                 out.append(re.escape(c))
             else:
-                out.append(pattern[i : j + 1])
+                seq = pattern[i + 1 : j]
+                # glob negation is '!', regex negation is '^': translate
+                # (copying '[!a]' verbatim INVERTS the match in regex)
+                if seq.startswith("!"):
+                    seq = "^" + seq[1:]
+                elif seq.startswith("^"):
+                    # a literal leading '^' in a glob class must not
+                    # become regex negation
+                    seq = "\\" + seq
+                out.append("[" + seq + "]")
                 i = j
         else:
             out.append(re.escape(c))

@@ -57,22 +57,31 @@ def fuse_rrf(ranked: DataFrame, key_cols: list[str],
 
 def score_gate(df: DataFrame, score_a: str = "score_a",
                score_b: str = "score_b") -> DataFrame:
-    """A4: if max(weaker) < max(stronger)×0.80, cull weaker-side rows
-    below max(stronger)×0.70. Implemented with two scalar aggregates
-    crossJoined back (2×1 row — broadcast, no shuffle of df)."""
+    """A4: if max(weaker) < max(stronger)×0.80, cull WEAKER-SIDE scores
+    below max(stronger)×0.70 — by nulling the weaker score, never by
+    dropping the row: the stronger provider's result for that key must
+    survive (the reference filters only secondary_results and returns
+    primary unchanged, query_strategy.py:95-112). A NULL weaker score
+    passes through untouched (a missing side is not a below-floor
+    side). Rows whose BOTH sides end up null carry nothing and drop.
+    Implemented with two scalar aggregates crossJoined back (2×1 row —
+    broadcast, no shuffle of df)."""
     maxes = df.agg(F.max(score_a).alias("max_a"),
                    F.max(score_b).alias("max_b"))
     j = df.crossJoin(F.broadcast(maxes))
     a_stronger = F.col("max_b") < F.col("max_a") * SCORE_GATE_DETECT
     b_stronger = F.col("max_a") < F.col("max_b") * SCORE_GATE_DETECT
-    keep = (
-        F.when(a_stronger,
-               F.col(score_b) >= F.col("max_a") * SCORE_GATE_CULL)
-        .when(b_stronger,
-              F.col(score_a) >= F.col("max_b") * SCORE_GATE_CULL)
-        .otherwise(F.lit(True))
+    new_b = F.when(
+        a_stronger & (F.col(score_b) < F.col("max_a") * SCORE_GATE_CULL),
+        F.lit(None).cast("double")).otherwise(F.col(score_b))
+    new_a = F.when(
+        b_stronger & (F.col(score_a) < F.col("max_b") * SCORE_GATE_CULL),
+        F.lit(None).cast("double")).otherwise(F.col(score_a))
+    return (
+        j.withColumn(score_a, new_a).withColumn(score_b, new_b)
+        .filter(F.col(score_a).isNotNull() | F.col(score_b).isNotNull())
+        .drop("max_a", "max_b")
     )
-    return j.filter(keep).drop("max_a", "max_b")
 
 
 def _minmax_norm(col, mn, mx):

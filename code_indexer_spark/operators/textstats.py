@@ -254,8 +254,12 @@ def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
     out = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     counts = []
     scrubbed = F.col("t")
+    # counting by sentinel-substitution requires the sentinel to be
+    # absent first: dirty web text CAN contain \x01 bytes, and each
+    # pre-existing one would inflate every count by 1
+    clean = F.regexp_replace(F.col("t"), "\x01", "")
     for name, pat, repl in PII_PATTERNS:
-        n = F.size(F.split(F.regexp_replace(F.col("t"), pat, "\x01"),
+        n = F.size(F.split(F.regexp_replace(clean, pat, "\x01"),
                            "\x01")) - 1
         counts.append(n.alias(f"n_{name}s"))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)

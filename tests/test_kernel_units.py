@@ -109,3 +109,12 @@ def test_detect_mentions_longest_match():
 
 def test_normalize_surface():
     assert normalize_surface("  Acme-Corp, Inc.  ") == "acme corp inc"
+
+
+def test_decode_bytes_none_and_empty_doc_shingles():
+    """NULL html decodes to '' (degrades, never crashes the batch); an
+    empty doc contributes zero shingles, matching the kernel set."""
+    from code_indexer_spark.kernel.extract import decode_bytes, extract_page
+
+    assert decode_bytes(None) == ""
+    assert extract_page(None) == ("", [])

@@ -194,11 +194,13 @@ def test_score_gate_culls_weak_side(spark):
     from code_indexer_spark.operators.fusion import score_gate
 
     df = spark.createDataFrame(
-        [(1, 1.0, 0.5), (2, 0.9, 0.78), (3, 0.2, 0.60)],
-        ["id", "score_a", "score_b"])
-    # max_a=1.0, max_b=0.78 < 0.8 -> cull rows with score_b < 0.70
-    got = sorted(r["id"] for r in score_gate(df).collect())
-    assert got == [2]
+        [(1, 1.0, 0.5), (2, 0.9, 0.78), (3, 0.2, 0.60), (4, None, 0.3)],
+        "id long, score_a double, score_b double")
+    # max_a=1.0, max_b=0.78 < 0.8 -> B is weaker: null out score_b
+    # below 0.70, but NEVER drop the stronger side's result; a row
+    # left with both sides null disappears
+    got = {r.id: (r.score_a, r.score_b) for r in score_gate(df).collect()}
+    assert got == {1: (1.0, None), 2: (0.9, 0.78), 3: (0.2, None)}
 
 
 def test_build_filter_nested(spark):
@@ -226,6 +228,16 @@ def test_glob_to_regex(spark):
     assert not re.match(rx, "src/a/b/test_12.py")
     rx2 = glob_to_regex("*.py")
     assert re.match(rx2, "x.py") and not re.match(rx2, "a/x.py")
+    # glob negated class: [!a] rejects 'a', accepts others (fnmatch
+    # semantics); a verbatim copy would invert this
+    rx3 = glob_to_regex("[!a]bc")
+    assert re.match(rx3, "xbc") and not re.match(rx3, "abc")
+    assert re.match(glob_to_regex("[ab]c"), "ac")
+    import fnmatch
+    for pat in ("[!a]bc", "[ab]c", "x[!0-9]y"):
+        for s_ in ("abc", "xbc", "ac", "bc", "x5y", "xzy"):
+            assert bool(re.match(glob_to_regex(pat), s_)) == \
+                fnmatch.fnmatchcase(s_, pat), (pat, s_)
 
 
 def test_transitive_closure_and_paths(spark):
@@ -505,3 +517,14 @@ def test_deterministic_sample_properties(spark):
     repart = {r.doc_id for r in deterministic_sample(
         docs.repartition(7), "doc_id", 0.25).collect()}
     assert repart == kept_all
+
+
+def test_empty_docs_make_no_shingles_or_pairs(spark):
+    from code_indexer_spark.operators.dedup import (jaccard_pairs,
+                                                    word_shingles_df)
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")], ["doc_id", "text"])
+    assert word_shingles_df(df).filter("id in (1, 2)").count() == 0
+    # two empty docs are NOT a jac=1.0 phantom near-dup pair
+    assert jaccard_pairs(df, threshold=0.1).count() == 0
