@@ -33,8 +33,8 @@ def _kg_dir(sf_dir: str) -> str:
              "sf0.1": "sf_bench"}.get(name, "sf_med")
     d = os.path.join(base, scale)
     if not os.path.isdir(d):
-        from code_indexer_spark.fixtures.gen import SCALES, generate
-        generate(d, SCALES[scale])
+        from code_indexer_spark.fixtures.gen import SCALES, generate_atomic
+        generate_atomic(d, SCALES[scale])
     return d
 
 
@@ -467,12 +467,10 @@ def q_time_range_latest(spark, sf_dir):
     e = _t(spark, sf_dir, "events").filter(
         (F.col("ts") >= F.lit("2024-01-05")) & (F.col("ts") < F.lit("2024-01-15"))
     )
-    # dedup by recency: score = ts
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
-    return (
-        e.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    # dedup by recency: score = ts, tiebreak = event_id (A8 helper —
+    # one copy of the keep-best-per-key idiom, not a re-rolled window)
+    return dedup_by_key(e, ["user_id"], "ts", "event_id") \
         .select("user_id", "event_id", "event_type")
-    )
 
 
 def q_session_windows(spark, sf_dir):
@@ -928,12 +926,14 @@ def kg_hybrid_search(spark, sf_dir):
     The chunks stage is persisted first: both branches scan it, and
     without staging the fused extract+chunk+embed UDF would run twice
     (in production hybrid search reads the materialized chunks table at
-    rest, exactly this shape)."""
-    from code_indexer_spark.plans.pipeline import build_chunks
+    rest, exactly this shape). cached_chunks persists ONE entry per
+    (session, kg_dir) — a per-call persist() would leak a fresh cache
+    entry on every invocation of this query."""
+    from code_indexer_spark.plans.pipeline import cached_chunks
     from code_indexer_spark.plans.search import hybrid_search
 
-    chunks = build_chunks(spark, _kg_dir(sf_dir)).persist()
-    return hybrid_search(chunks, "partners", k=10)
+    return hybrid_search(cached_chunks(spark, _kg_dir(sf_dir)),
+                         "partners", k=10)
 
 
 def kg_time_range(spark, sf_dir):
@@ -2093,6 +2093,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE array_to_string(t, ' ') END AS shingle
             FROM toks, generate_series(1, 100000) AS g(i)
             WHERE i <= greatest(len(t) - 2, 1)
+              AND (CASE WHEN len(t) >= 3
+                        THEN array_to_string(t[i:i+2], ' ')
+                        ELSE array_to_string(t, ' ') END) <> ''
         ),
         d AS (SELECT doc_id, md5(shingle) AS dg FROM shingles)
         SELECT doc_id,

@@ -147,7 +147,16 @@ def _make_entities(rng: random.Random):
                  prior=round(0.2 + 0.8 * rng.random(), 6), dup_group=None)
         )
 
-    # duplicate groups: pick 100 base entities, add 1-5 variant records
+    # duplicate groups: pick 100 base entities, add 1-5 variant records.
+    # KNOWN LIMITATION (kept deliberately): _name_variant draws from
+    # pools of only 2-4 distinct forms per type, so a group drawing 5
+    # variants will contain some byte-identical canonical_names — those
+    # members exercise exact-match merging rather than name-variant
+    # merging. Deduplicating the draw would change every generated
+    # fixture byte and invalidate all pinned goldens (kg graph counts,
+    # pagerank scores, chunk goldens); the canonicalization path's
+    # variant handling is separately pinned by test_canonicalize's
+    # hand-built cases, so the weaker fixture is acceptable.
     bases = rng.sample(range(len(entities)), 100)
     for gi, bi in enumerate(sorted(bases)):
         base = entities[bi]
@@ -362,6 +371,32 @@ SCALES = {"sf_small": 1000, "sf_med": 20000, "sf_bench": 200000,
           "sf_scale": 600000}
 
 
+def generate_atomic(out_dir: str, n_pages: int, seed: int = SEED,
+                    write_shared: bool = True) -> None:
+    """generate() into a sibling tmp dir, then rename into place.
+
+    generate() streams pages.parquet over minutes at bench scales; an
+    interruption mid-write would otherwise leave a directory that
+    EXISTS (so every later run takes the fixture-cached fast path) but
+    holds a footerless parquet — a permanently corrupt fixture nobody
+    regenerates. The rename is atomic; a concurrent winner's completed
+    fixture is kept and ours discarded."""
+    import shutil
+
+    if os.path.isdir(out_dir):
+        return
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    generate(tmp, n_pages, seed=seed, write_shared=write_shared)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        if os.path.isdir(out_dir):  # lost a benign race: keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+
+
 def main():
     import sys
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/data/kg"
@@ -369,7 +404,7 @@ def main():
     for name in only:
         out = os.path.join(base, name)
         print(f"generating {name} -> {out} ({SCALES[name]} pages)")
-        generate(out, SCALES[name])
+        generate_atomic(out, SCALES[name])
 
 
 if __name__ == "__main__":

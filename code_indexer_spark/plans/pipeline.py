@@ -116,6 +116,25 @@ def cached_canonical_mapping(spark: SparkSession, kg_dir: str) -> DataFrame:
     return m
 
 
+# chunks table, persisted once per (session, kg_dir): multi-branch
+# read plans (hybrid search scans it twice) must not re-run the fused
+# extract+chunk+embed UDF per branch, and repeated query invocations in
+# one session must REUSE one cache entry — persisting a fresh
+# build_chunks() per call would leak a new storage-memory entry (chunk
+# text + embeddings) on every invocation.
+_CHUNKS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_chunks(spark: SparkSession, kg_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, kg_dir)
+    c = _CHUNKS_CACHE.get(key)
+    if c is None:
+        c = build_chunks(spark, kg_dir).persist()
+        c.count()
+        _CHUNKS_CACHE[key] = c
+    return c
+
+
 def build_canonical_triples(spark: SparkSession, kg_dir: str,
                             pages: DataFrame | None = None) -> DataFrame:
     raw = build_raw_triples(spark, kg_dir, pages=pages)

@@ -44,10 +44,10 @@ def get_spark(
     # of a full wave). Mirrors tasks >> slots on a real cluster.
     m = re.fullmatch(r"local\[(\d+|\*)\]", master)
     if m:
-        cores = os.cpu_count() if m.group(1) == "*" else int(m.group(1))
+        cores = ((os.cpu_count() or 8) if m.group(1) == "*"
+                 else int(m.group(1)))
     else:
         cores = os.cpu_count() or 8
-    min_partitions = str(4 * cores)
     b = SparkSession.builder.appName(app_name).master(master) \
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")) \

@@ -41,6 +41,12 @@ def main() -> None:
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # driver-side fail-fast (same check session.get_spark runs): a
+    # numpy reduction-order drift must abort BEFORE reading 100 TB,
+    # not minutes later inside the first executor UDF batch
+    from code_indexer_spark.kernel.embed import assert_embed_golden
+
+    assert_embed_golden()
     t0 = time.monotonic()
     if args.checkpointed:
         out = run_triples_checkpointed(spark, args.kg_dir, args.out_dir)

@@ -17,9 +17,9 @@ KG_SMALL = os.path.join(ROOT, "data", "kg", "sf_small")
 @pytest.fixture(scope="session")
 def kg_small() -> str:
     if not os.path.isdir(KG_SMALL):
-        from code_indexer_spark.fixtures.gen import generate
+        from code_indexer_spark.fixtures.gen import generate_atomic
 
-        generate(KG_SMALL, 1000)
+        generate_atomic(KG_SMALL, 1000)
     return KG_SMALL
 
 

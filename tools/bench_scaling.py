@@ -71,7 +71,15 @@ def run_level(kg: str, cores: int) -> dict:
     code = _CHILD.format(root=ROOT, cores=cores, parts=max(cores * 2, 8),
                          kg=kg)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, check=True)
+                         text=True)
+    if out.returncode != 0:
+        # surface the child's Spark/Python traceback — a bare
+        # CalledProcessError would discard the only diagnostic and
+        # show just the giant -c blob
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(
+            f"scaling child (local[{cores}]) exited {out.returncode}; "
+            "stderr above")
     line = [ln for ln in out.stdout.strip().splitlines()
             if ln.startswith("{")][-1]
     return json.loads(line)

@@ -66,6 +66,12 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # a typo'd query name must FAIL the gate, not silently skip
+    # everything and print a false-green "0 pass, 0 fail"
+    unknown = only - set(queries)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in queries.items():
         if only and name not in only:
