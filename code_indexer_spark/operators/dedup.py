@@ -83,8 +83,10 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     """Exact n-gram Jaccard near-dup pairs via shingle self-join.
 
     (id_a, id_b, jac) with id_a < id_b and jac >= threshold. The
-    shingle-join computes |∩| in one shuffle; sizes come from a tiny
-    per-doc agg that broadcast-joins back.
+    shingle-join computes |∩| in one shuffle; per-doc sizes join back
+    by id as plain shuffle joins — the sizes table is O(n_docs)
+    (UNBOUNDED at web scale), so it must never be force-broadcast; at
+    small scale AQE promotes these to broadcast joins on its own.
 
     ``max_df`` is the stop-shingle guard for scale (the Lee et al. 2022
     frequency cut): shingles appearing in more than max_df documents
@@ -122,10 +124,10 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (
-        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a")
-                               .withColumnRenamed("n_sh", "sh_a")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b")
-                          .withColumnRenamed("n_sh", "sh_b")), "id_b")
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("n_sh", "sh_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_sh", "sh_b"), "id_b")
         .withColumn(
             "jac",
             F.round(F.col("n_inter")

@@ -157,14 +157,21 @@ def snippets(docs: DataFrame, needle: str, id_col: str = "doc_id",
 
 
 def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text", k: int = 3) -> DataFrame:
+                    text_col: str = "text", k: int = 3,
+                    min_df: int | None = None) -> DataFrame:
     """(id, term, score, rank): each document's k most distinctive terms
     by tf·idf with idf = ln(N/df) — the classic training-data signal for
     document topicality / keyword extraction.
 
     Shuffle shape: one explode + (doc, token) agg, a token-keyed df agg
-    broadcast back, and a per-doc top-k window — at corpus scale the df
-    table is vocabulary-sized (Zipf-bounded) and broadcastable.
+    joined back on term as a PLAIN shuffle join, and a per-doc top-k
+    window. The df table is NOT force-broadcast: distinct tokens of a
+    web-scale crawl (typos, ids, hashes, urls) run to billions of rows,
+    so the vocabulary relation is unbounded — AQE broadcasts it at
+    runtime only when it actually fits. ``min_df`` (standard TF-IDF
+    practice) drops terms appearing in fewer than min_df documents
+    BEFORE the join, killing the hapax tail that dominates vocabulary
+    size at scale; None keeps exact classic semantics.
     Scores are stabilized with floor(x*1e6+0.5)/1e6 (engine-identical
     rounding) and ranked on the ROUNDED value, ties by term — the same
     cross-engine discipline as quality_score/ann_topk."""
@@ -173,9 +180,11 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = toks.select("id", "term").distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df"))
+    if min_df is not None:
+        df_t = df_t.filter(F.col("df") >= min_df)
     n_docs = docs.select(F.countDistinct(id_col).alias("n"))
     scored = (
-        tf.join(F.broadcast(df_t), "term")
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

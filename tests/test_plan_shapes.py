@@ -61,6 +61,43 @@ def test_no_single_partition_exchange(plans, name):
         f"{name}: a global window/sort reappeared —\n{plan}")
 
 
+# VERDICT r3 item 1: no gated plan may FORCE-broadcast an unbounded
+# (per-doc / per-term) relation. Forced hints survive into the optimized
+# logical plan as `...Hint=(strategy=broadcast)` on the Join node, so we
+# enumerate every hint line and require it to match a sanctioned bounded
+# pattern. Sanctioned: tfidf's 1-row n_docs crossJoin; jaccard_guarded's
+# Zipf-bounded hot-shingle set, which only ever appears as a LeftAnti
+# join. A re-added broadcast of the per-term df table or the per-doc
+# sizes table would surface as an Inner-join hint and fail here.
+BROADCAST_GATED = {
+    # query name -> regex a hint line MUST match to be sanctioned
+    "tfidf_top_terms": r"Join Cross, \w+Hint=\(strategy=broadcast\)",
+    "jaccard_pairs": None,  # exact path: zero forced broadcasts
+    "jaccard_pairs_guarded":
+        r"Join LeftAnti, .*Hint=\(strategy=broadcast\)",
+}
+
+
+@pytest.mark.parametrize("name", sorted(BROADCAST_GATED))
+def test_no_unbounded_forced_broadcast(spark, name):
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.queries()[name](spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    hint_lines = [ln.strip() for ln in logical.splitlines()
+                  if "strategy=broadcast" in ln]
+    allowed = BROADCAST_GATED[name]
+    if allowed is None:
+        assert not hint_lines, (
+            f"{name}: forced broadcast reappeared —\n{hint_lines}")
+    else:
+        bad = [ln for ln in hint_lines if not re.search(allowed, ln)]
+        assert not bad, (
+            f"{name}: unsanctioned forced broadcast —\n{bad}")
+
+
 def test_point_get_pushes_in_filter(spark):
     import __spark_entry__ as e
 
