@@ -149,3 +149,20 @@ def test_smart_chunks_bounded_and_indexed():
     for a, b in zip(got, got[1:]):
         assert b["line_start"] >= a["line_start"]
     assert got[-1]["line_end"] <= 200
+
+
+def test_chunk_smart_golden_parquet_fresh():
+    """The committed golden parquet that backs oracle_sql('chunk_smart')
+    must equal what the current kernel produces — a kernel semantics
+    change must fail HERE (fast), not as a driver oracle mismatch.
+    Regenerates sf0.001 in-memory via the same generator code path."""
+    import pyarrow.parquet as pq
+
+    from tools.gen_chunk_goldens import golden_rows
+
+    got = golden_rows("/root/testdata/sf0.001/documents.parquet")
+    committed = pq.read_table(
+        "/root/repo/data/goldens/chunk_smart/sf0.001.parquet").to_pydict()
+    assert got == committed, (
+        "kernel output diverged from committed golden — rerun "
+        "tools/gen_chunk_goldens.py if the change is intentional")
