@@ -42,3 +42,41 @@ def test_kg_pagerank_pinned(spark, kg_sf_dir):
     # scores are returned in strictly ranked order
     prs = [r.pr for r in rows]
     assert prs == sorted(prs, reverse=True)
+
+
+# --- value-hash goldens (VERDICT r3 item 3) -------------------------
+# Counts alone can't catch a semantics-changing edit to kernel/nlp.py
+# that preserves row counts; these pin the VALUES. The hash is the same
+# order-insensitive xor-fold used by the determinism proof in
+# BASELINE.md: md5 over all columns (sorted by name, cast to string)
+# per row, bit_xor(xxhash64) across rows — stable under any
+# partitioning/shuffle order. Regression tripwire, not an independent
+# oracle: if a kernel change is INTENTIONAL, recompute with
+# tools/print_kg_value_hashes.py and update the pins.
+KG_VALUE_GOLDENS = {
+    "kg_triples": (3888, -3336068592721926318),
+    "kg_nodes": (986, 3439483732569019467),
+    "kg_edges": (3839, 7879059079284252679),
+    "kg_pagerank": (20, 8219871388199408271),
+}
+
+
+@pytest.mark.parametrize("name", sorted(KG_VALUE_GOLDENS))
+def test_kg_value_hash_golden(spark, kg_sf_dir, name):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    df = e.queries()[name](spark, kg_sf_dir)
+    cols = sorted(df.columns)
+    row_h = F.md5(F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in cols]))
+    got = df.select(row_h.alias("h")).agg(
+        F.coalesce(F.expr("bit_xor(xxhash64(h))"), F.lit(0)).alias("x")
+    ).collect()[0]["x"]
+    n_exp, h_exp = KG_VALUE_GOLDENS[name]
+    assert df.count() == n_exp
+    assert got == h_exp, (
+        f"{name}: values diverged from pinned golden (count unchanged "
+        "checks pass separately) — if intentional, rerun "
+        "tools/print_kg_value_hashes.py and update KG_VALUE_GOLDENS")
