@@ -3,8 +3,11 @@ metadata (E5 routing in SURVEY.md §2.3; reference multimodal pipeline
 file_chunking_manager.py:482-778, image validation
 image_extractor.py:69-122).
 
-The image/audio decode libraries are NOT in this container, so the
-decode kernels are STUBS: `decode_image` raises NotImplementedError
+PNG decode and resize are REAL (pure-stdlib baseline-PNG codec,
+kernel/png.py — zlib + struct, all five scanline filters): PNG content
+is decoded to actual pixels and featured/resized from them. Other
+formats (jpeg/webp/gif) still need system codecs absent from this
+container, so for those `decode_image` raises NotImplementedError
 unless `deterministic_fake=True`, in which case it produces a seeded
 fake feature tensor from the bytes' md5 — the Spark-side plumbing
 (schemas, mapInPandas batch shape, partitioning, routing) is real and
@@ -43,13 +46,29 @@ FEATURE_DIM = 16
 
 
 def decode_image(content: bytes, deterministic_fake: bool = False) -> np.ndarray:
-    """STUB: real impl would decode + resize + feature-extract (PIL /
-    torchvision are not installed here). The fake path is deterministic:
-    16 floats derived from md5(content), unit-normalized."""
+    """PNG: REAL decode via the pure-stdlib kernel (kernel/png.py) —
+    16-dim feature = per-channel mean/std (padded to 4 channels) + the
+    normalized 8-bin grayscale histogram, unit-normalized. Other
+    formats (jpeg/webp/gif codecs absent here) keep the STUB contract:
+    NotImplementedError, or with deterministic_fake=True a seeded
+    md5-derived 16-float vector."""
+    from ..kernel.png import PNG_MAGIC, decode_png, image_stats
+
+    if (content or b"")[:8] == PNG_MAGIC:
+        st = image_stats(decode_png(content))
+        mean = (st["mean"] + [0.0] * 4)[:4]
+        std = (st["std"] + [0.0] * 4)[:4]
+        n_px = float(st["width"] * st["height"]) or 1.0
+        hist = [h / n_px for h in st["gray_hist"]]
+        v = np.array(mean + std + hist, dtype=np.float32)
+        v = v - v.mean()
+        n = float(np.sqrt((v * v).sum()))
+        return (v / n if n > 0 else v).astype(np.float32)
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decode requires PIL/torchvision (not in this container); "
-            "pass deterministic_fake=True for the plumbing-test path"
+            "non-PNG image decode requires system codecs (not in this "
+            "container); pass deterministic_fake=True for the "
+            "plumbing-test path"
         )
     d = hashlib.md5(content or b"").digest()
     v = np.frombuffer(d, dtype=np.uint8).astype(np.float32)
@@ -152,25 +171,42 @@ def resize_images_stage(assets: DataFrame, width: int = 224,
                         deterministic_fake: bool = True) -> DataFrame:
     """Resize as a 1:1 mapInPandas stage: binary in, binary out plus
     (width, height) metadata — the batch shape a PIL/opencv resize
-    would use. Decode is STUBBED like decode_image (libs absent):
-    the fake output is md5(content | w | h)-seeded bytes, so the stage
-    is deterministic and the downstream schema/partitioning is real."""
+    would use. PNG content takes the REAL path: stdlib decode →
+    nearest-neighbor resample → stdlib re-encode (kernel/png.py).
+    Other formats keep the stub contract (codecs absent): with
+    deterministic_fake=True the fake output is md5(content | w | h)-
+    seeded bytes, so the stage stays deterministic and the downstream
+    schema/partitioning is real either way."""
+
+    def _resize_png(content: bytes, w: int, h: int) -> bytes:
+        from ..kernel.png import decode_png, encode_png
+
+        px = decode_png(content)
+        src_h, src_w = px.shape[:2]
+        ys = np.minimum((np.arange(h) * src_h) // h, src_h - 1)
+        xs = np.minimum((np.arange(w) * src_w) // w, src_w - 1)
+        return encode_png(px[ys][:, xs])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.png import PNG_MAGIC
+
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image resize requires PIL/opencv (not in this "
-                    "container); deterministic_fake=True exercises the "
-                    "plumbing path")
+            resized = []
+            for c in pdf["content"]:
+                if (c or b"")[:8] == PNG_MAGIC:
+                    resized.append(_resize_png(c, width, height))
+                elif deterministic_fake:
+                    resized.append(hashlib.md5(
+                        (c or b"") + f"|{width}x{height}".encode()).digest())
+                else:
+                    raise NotImplementedError(
+                        "non-PNG resize requires system codecs (not in "
+                        "this container); deterministic_fake=True "
+                        "exercises the plumbing path")
             out = pdf[["url", "asset_path", "fmt"]].copy()
             out["width"] = width
             out["height"] = height
-            out["content"] = [
-                hashlib.md5((c or b"") + f"|{width}x{height}".encode())
-                .digest()
-                for c in pdf["content"]
-            ]
+            out["content"] = resized
             yield out
 
     return assets.filter(F.col("kind") == "image").mapInPandas(
