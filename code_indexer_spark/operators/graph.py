@@ -163,8 +163,9 @@ def smart_context(definitions: DataFrame, dependents: DataFrame,
 
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
-             round_to: int = 8) -> DataFrame:
-    """Entity-importance scores over (src, dst) edges: `iters` rounds of
+             round_to: int = 8, until_converged: bool = False,
+             tol: float = 1e-6, max_iters: int = 100) -> DataFrame:
+    """Entity-importance scores over (src, dst) edges: rounds of
     PR(v) = (1-d) + d * Σ_{u->v} PR(u)/outdeg(u), dangling nodes keep
     their base mass. The KG analog of ranking entities by mention count
     (build_nodes.n_mentions) that actually propagates importance
@@ -175,16 +176,32 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     rounded to `round_to` decimals PER ROUND so the floating-point
     reduction order of the shuffle agg can never leak into the result —
     the output is deterministic across partitionings and engines (the
-    DuckDB oracle runs the identical unrolled recurrence).
+    DuckDB oracle runs the identical unrolled recurrence for the
+    bounded default).
+
+    ``until_converged=True`` is the 10^12-edge mode (same checkpointed
+    loop-until-stable pattern as dedup_resolution): the slim inputs
+    (edge list, node set, out-degrees) are eagerly localCheckpoint-ed
+    once so no round re-executes the upstream subtree, each round's
+    score table is checkpointed to keep lineage flat, and the loop
+    stops when no node's ROUNDED score moved by more than ``tol``
+    (one count() action per round on the O(nodes) table), or after
+    ``max_iters`` rounds as a runaway bound. Ref analog: mention-count
+    ranking, scip/query/primitives.py:234-357.
     """
+    if until_converged:
+        edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranked = nodes.withColumn("pr", F.lit(1.0))
-    for _ in range(iters):
+    if until_converged:
+        nodes = nodes.localCheckpoint(eager=True)
+        outdeg = outdeg.localCheckpoint(eager=True)
+
+    def one_round(ranked: DataFrame) -> DataFrame:
         contrib = (
             edges.join(ranked, edges.src == ranked.node)
             .join(outdeg, "src")
@@ -193,7 +210,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
             .groupBy("node")
             .agg(F.sum("c").alias("mass"))
         )
-        ranked = (
+        return (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
@@ -204,4 +221,22 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                 ).alias("pr"),
             )
         )
+
+    ranked = nodes.withColumn("pr", F.lit(1.0))
+    if not until_converged:
+        for _ in range(iters):
+            ranked = one_round(ranked)
+        return ranked
+    ranked = ranked.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nxt = one_round(ranked).localCheckpoint(eager=True)
+        moved = (
+            nxt.alias("a")
+            .join(ranked.alias("b"), "node")
+            .filter(F.abs(F.col("a.pr") - F.col("b.pr")) > tol)
+            .count()
+        )
+        ranked = nxt
+        if moved == 0:
+            break
     return ranked
