@@ -80,3 +80,31 @@ def test_kg_value_hash_golden(spark, kg_sf_dir, name):
         f"{name}: values diverged from pinned golden (count unchanged "
         "checks pass separately) — if intentional, rerun "
         "tools/print_kg_value_hashes.py and update KG_VALUE_GOLDENS")
+
+
+def test_kg_smart_context_pinned(spark, kg_sf_dir):
+    import __spark_entry__ as e
+
+    rows = e.queries()["kg_smart_context"](spark, kg_sf_dir).collect()
+    assert len(rows) == 20
+    assert [r.read_priority for r in rows] == list(range(1, 21))
+    # the fixture's hub entity is a pure sink (never a subject), so the
+    # curated list is led by depth-1 dependent pages at score 0.7
+    assert rows[0].file == "https://site0.example/p/194"
+    assert rows[0].relevance_score == 0.7
+    scores = [r.relevance_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_kg_call_chains_pinned(spark, kg_sf_dir):
+    import __spark_entry__ as e
+
+    rows = e.queries()["kg_call_chains"](spark, kg_sf_dir).collect()
+    assert len(rows) == 13
+    # shortest chain first: the direct hub->sink edge
+    assert rows[0].path == ["E00245", "E00993"] and rows[0].depth == 2
+    depths = [r.depth for r in rows]
+    # depth = node count: max_depth=4 edge hops -> up to 5 nodes
+    assert depths == sorted(depths) and set(depths) == {2, 3, 4, 5}
+    # simple paths: no repeated node within a chain
+    assert all(len(set(r.path)) == len(r.path) for r in rows)
