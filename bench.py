@@ -73,6 +73,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
+    # Calibration probe (VERDICT r3 item 7): a FIXED scan-agg whose
+    # plan never changes round to round, timed under the same best-of-2
+    # protocol. The shared host's per-core speed drifts ±25% over
+    # minutes (BASELINE.md), so cross-round comparisons of raw seconds
+    # conflate host weather with plan changes; queries_calibrated
+    # (per-query seconds / calibration seconds) is the drift-normalized
+    # series to compare across rounds. Inlined here — independent of
+    # operator code, so it can never change when operators do.
+    from pyspark.sql import functions as F
+    calib_sec = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+         .groupBy("l_returnflag")
+         .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
+              F.count(F.lit(1)))
+         .collect())
+        calib_sec = min(calib_sec, time.monotonic() - t0)
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     total = 0.0
@@ -103,6 +122,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "calibration_sec": round(calib_sec, 3),
+        "queries_calibrated": {
+            name: round(t / calib_sec, 2) for name, t in timings.items()},
         "sf": sf,
         "cpus": int(cpus),
         **extras,
