@@ -385,7 +385,11 @@ def generate_atomic(out_dir: str, n_pages: int, seed: int = SEED,
 
     if os.path.isdir(out_dir):
         return
-    tmp = out_dir + ".tmp"
+    # per-process tmp: a shared name would let a second concurrent
+    # generator rmtree our in-progress tmp and interleave writes into
+    # one directory — the mixed/partial dir this function exists to
+    # prevent could then be renamed into place
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     generate(tmp, n_pages, seed=seed, write_shared=write_shared)
     try:

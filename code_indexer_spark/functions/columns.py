@@ -71,7 +71,11 @@ def snippet(text: Column | str, needle: str, before: int = 30,
     ``ci=True`` locates the needle case-insensitively (position found
     on the lowercased haystack, snippet cut from the ORIGINAL text) —
     a case-insensitive search that displays snippets must use this, or
-    rows matched via lower() would get a NULL snippet."""
+    rows matched via lower() would get a NULL snippet. Caveat: for the
+    rare Unicode chars whose lowercase form changes string LENGTH
+    ('İ' -> 'i̇', ligatures), the lowered-haystack offset drifts from
+    the original, so the window may be cut a few chars off; exact for
+    ASCII-ish corpora."""
     c = F.col(text) if isinstance(text, str) else text
     pos = (F.instr(F.lower(c), needle.lower()) if ci
            else F.instr(c, needle))

@@ -26,6 +26,29 @@ from pyspark.sql import DataFrame
 NUM_HASHES = 16
 BANDS = 8  # rows_per_band = 2
 
+# persisted-shingle registry, same centralization as
+# plans.pipeline.cached_chunks: jaccard_pairs(max_df=...) reads its
+# shingle table from three distinct subtrees, so it must be persisted —
+# but a per-call persist() would leak one storage-memory entry per
+# invocation for the session lifetime. Keyed by (appId, semanticHash of
+# the shingle plan), repeated invocations over the same input reuse ONE
+# cache entry.
+_SHINGLE_CACHE: dict[tuple[str, int], DataFrame] = {}
+
+
+def _cached_shingles(sh: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    key = (sh.sparkSession.sparkContext.applicationId,
+           sh._jdf.queryExecution().analyzed().semanticHash())
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is None:
+        # MEMORY_AND_DISK: at the 100 TB shape this spills instead of
+        # evicting-and-recomputing
+        hit = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE[key] = hit
+    return hit
+
 
 def exact_dupes(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
@@ -106,11 +129,9 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         # subtrees (hot-set agg, per-doc sizes, self-join) — persist it
         # so tokenize+explode+distinct runs once, not once per subtree
         # (the join sides themselves dedupe via ReuseExchange, the
-        # aggregates do not); MEMORY_AND_DISK: at the 100 TB shape this
-        # spills instead of evicting-and-recomputing
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        # aggregates do not); cached centrally so repeat invocations
+        # don't leak storage-memory entries
+        sh = _cached_shingles(sh)
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
                .filter(F.col("_df") > max_df).select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")

@@ -105,7 +105,14 @@ def run_triples_checkpointed(
         for name in os.listdir(triples_dir):
             if not name.startswith("work_pid="):
                 continue
-            pid = int(name.split("=")[1])
+            suffix = name.split("=", 1)[1]
+            if not suffix.isdigit():
+                # stray temp/rename artifact — stale by definition;
+                # int() would raise and abort the whole run
+                shutil.rmtree(os.path.join(triples_dir, name),
+                              ignore_errors=True)
+                continue
+            pid = int(suffix)
             if pid not in done or pid >= partitions:
                 shutil.rmtree(os.path.join(triples_dir, name),
                               ignore_errors=True)

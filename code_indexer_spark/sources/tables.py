@@ -79,6 +79,19 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     Equivalent Iceberg: MERGE INTO t USING s ON <keys>
     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *.
     """
+    src = reduce_source(source, key_cols)
+    keep = target.join(src.select(*key_cols).distinct(),
+                       on=key_cols, how="left_anti")
+    return keep.unionByName(src)
+
+
+def reduce_source(source: DataFrame, key_cols: list[str]) -> DataFrame:
+    """The one-row-per-key source reduction merge_upsert performs
+    (distinct + deterministic per-key winner by max to_json of the
+    non-key columns) — exposed so a stream's FIRST batch (no snapshot
+    to merge into yet) applies the identical reduction before its raw
+    write; otherwise a first micro-batch legitimately carrying a key
+    twice would commit duplicate-key rows into snapshot v=1."""
     from pyspark.sql import Window
 
     other = [c for c in source.columns if c not in key_cols]
@@ -88,9 +101,7 @@ def merge_upsert(target: DataFrame, source: DataFrame,
             F.desc(F.to_json(F.struct(*other))))
         src = (src.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") == 1).drop("_rn"))
-    keep = target.join(src.select(*key_cols).distinct(),
-                       on=key_cols, how="left_anti")
-    return keep.unionByName(src)
+    return src
 
 
 def merge_upsert_clean_orphans(

@@ -193,7 +193,7 @@ def run_merge_sink(stream_df: DataFrame, table_dir: str,
 
     from ..sources.tables import (
         merge_upsert, merge_upsert_clean_orphans, read_snapshot,
-        write_snapshot)
+        reduce_source, write_snapshot)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -209,7 +209,14 @@ def run_merge_sink(stream_df: DataFrame, table_dir: str,
             else:
                 merged = merge_upsert(target, batch_df, key_cols)
         else:
-            merged = batch_df
+            # first batch (no committed snapshot yet): apply the same
+            # per-key source reduction merge_upsert performs, so a
+            # micro-batch carrying one key twice cannot commit
+            # duplicate-key rows into snapshot v=1 (scope mode replaces
+            # whole groups and needs no per-key reduction, matching the
+            # merge path above)
+            merged = (batch_df if scope_cols
+                      else reduce_source(batch_df, key_cols))
         write_snapshot(merged, table_dir)
 
     os.makedirs(table_dir, exist_ok=True)

@@ -245,3 +245,29 @@ def test_merge_sink_recovers_from_torn_first_snapshot(
     assert final.count() > 0
     # committed rows are the real chunk rows, unique per key
     assert final.select("point_id").distinct().count() == final.count()
+
+
+def test_merge_sink_first_batch_dedupes_keys(spark, tmp_path):
+    """A FIRST micro-batch that legitimately carries the same key twice
+    must not commit duplicate-key rows into snapshot v=1: the sink
+    applies merge_upsert's per-key source reduction (distinct +
+    deterministic max-to_json winner) before the raw first write."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from code_indexer_spark.sources.tables import read_snapshot
+    from code_indexer_spark.streaming.watch import run_merge_sink
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("k1", "payload-a"), ("k1", "payload-b"), ("k2", "only")],
+        "key string, val string").coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema("key string, val string")
+              .parquet(src))
+    table = str(tmp_path / "tbl")
+    run_merge_sink(stream, table, ["key"], str(tmp_path / "ck"))
+
+    rows = {r.key: r.val for r in read_snapshot(spark, table).collect()}
+    snap = read_snapshot(spark, table)
+    assert snap.count() == 2  # one row per key, not three
+    # deterministic winner: max to_json of the non-key columns
+    assert rows == {"k1": "payload-b", "k2": "only"}
