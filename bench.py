@@ -75,22 +75,29 @@ def main() -> None:
 
     # Calibration probe (VERDICT r3 item 7): a FIXED scan-agg whose
     # plan never changes round to round, timed under the same best-of-2
-    # protocol. The shared host's per-core speed drifts ±25% over
-    # minutes (BASELINE.md), so cross-round comparisons of raw seconds
-    # conflate host weather with plan changes; queries_calibrated
-    # (per-query seconds / calibration seconds) is the drift-normalized
-    # series to compare across rounds. Inlined here — independent of
-    # operator code, so it can never change when operators do.
+    # protocol BEFORE and AFTER the query list. The shared host's
+    # per-core speed drifts ±25% over minutes (BASELINE.md), so
+    # cross-round comparisons of raw seconds conflate host weather with
+    # plan changes; queries_calibrated (per-query seconds / mean
+    # calibration seconds) is the drift-normalized series to compare
+    # across rounds, and the start/end pair bounds how much the weather
+    # moved WITHIN this run. Inlined here — independent of operator
+    # code, so it can never change when operators do.
     from pyspark.sql import functions as F
-    calib_sec = float("inf")
-    for _ in range(2):
-        t0 = time.monotonic()
-        (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-         .groupBy("l_returnflag")
-         .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
-              F.count(F.lit(1)))
-         .collect())
-        calib_sec = min(calib_sec, time.monotonic() - t0)
+
+    def calibration_probe() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+             .groupBy("l_returnflag")
+             .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
+                  F.count(F.lit(1)))
+             .collect())
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    calib_start = calibration_probe()
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -117,11 +124,16 @@ def main() -> None:
             extras["triples_per_sec"] = round(n / dt, 1)
             extras["pages_per_sec"] = round(n_pages / dt, 1)
 
+    calib_end = calibration_probe()
+    calib_sec = (calib_start + calib_end) / 2
+
     out = {
         "metric": "bench_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "calibration_start_sec": round(calib_start, 3),
+        "calibration_end_sec": round(calib_end, 3),
         "calibration_sec": round(calib_sec, 3),
         "queries_calibrated": {
             name: round(t / calib_sec, 2) for name, t in timings.items()},

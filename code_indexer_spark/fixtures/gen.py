@@ -388,7 +388,20 @@ def generate_atomic(out_dir: str, n_pages: int, seed: int = SEED,
     # per-process tmp: a shared name would let a second concurrent
     # generator rmtree our in-progress tmp and interleave writes into
     # one directory — the mixed/partial dir this function exists to
-    # prevent could then be renamed into place
+    # prevent could then be renamed into place. Crashed attempts leave
+    # orphan tmp dirs no later pid would ever match, so sweep stale
+    # siblings — age-gated well past the longest generation time, so a
+    # LIVE concurrent generator's tmp is never touched (bench-scale
+    # generation runs minutes, not hours).
+    import glob
+    import time
+
+    for stale in glob.glob(out_dir + ".tmp.*"):
+        try:
+            if time.time() - os.path.getmtime(stale) > 6 * 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     tmp = f"{out_dir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     generate(tmp, n_pages, seed=seed, write_shared=write_shared)

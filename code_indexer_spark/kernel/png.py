@@ -30,8 +30,10 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_format(content: bytes) -> str | None:
-    """Magic-byte container sniff for the asset-validation path —
-    returns the canonical format token or None if unrecognized."""
+    """Magic-byte container sniff — the decode dispatch in
+    operators.multimodal (decode_image / resize_images_stage) routes on
+    this, not on the filename extension; returns the canonical format
+    token or None if unrecognized."""
     c = content or b""
     if c.startswith(PNG_MAGIC):
         return "png"

@@ -227,6 +227,8 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         for _ in range(iters):
             ranked = one_round(ranked)
         return ranked
+    from ..util import free_local_checkpoint
+
     ranked = ranked.localCheckpoint(eager=True)
     for _ in range(max_iters):
         nxt = one_round(ranked).localCheckpoint(eager=True)
@@ -236,6 +238,9 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
             .filter(F.abs(F.col("a.pr") - F.col("b.pr")) > tol)
             .count()
         )
+        # the superseded round's blocks are dead as soon as `moved` is
+        # computed — free them now, don't wait for GC/ContextCleaner
+        free_local_checkpoint(ranked)
         ranked = nxt
         if moved == 0:
             break

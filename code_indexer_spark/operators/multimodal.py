@@ -20,6 +20,8 @@ Asset table schema (what a 100 TB crawl would carry):
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -52,9 +54,9 @@ def decode_image(content: bytes, deterministic_fake: bool = False) -> np.ndarray
     formats (jpeg/webp/gif codecs absent here) keep the STUB contract:
     NotImplementedError, or with deterministic_fake=True a seeded
     md5-derived 16-float vector."""
-    from ..kernel.png import PNG_MAGIC, decode_png, image_stats
+    from ..kernel.png import decode_png, image_stats, sniff_format
 
-    if (content or b"")[:8] == PNG_MAGIC:
+    if sniff_format(content) == "png":
         st = image_stats(decode_png(content))
         mean = (st["mean"] + [0.0] * 4)[:4]
         std = (st["std"] + [0.0] * 4)[:4]
@@ -112,25 +114,42 @@ FEATURES_SCHEMA = StructType(
         StructField("fmt", StringType()),
         StructField("n_bytes", IntegerType()),
         StructField("features", ArrayType(FloatType())),
+        StructField("decode_error", StringType()),
     ]
 )
+
+# the per-asset failure modes a crawl's corrupt bytes can raise out of
+# the pure-stdlib PNG path — anything else is a code bug and SHOULD
+# fail the task
+_DECODE_ERRORS = (ValueError, NotImplementedError, zlib.error, struct.error)
 
 
 def image_features_stage(assets: DataFrame,
                          deterministic_fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary content — the real
     Arrow batch shape a GPU/CPU decode stage would use (batched bytes
-    in, fixed-dim float vectors out)."""
+    in, fixed-dim float vectors out).
+
+    Per-asset decode failures (truncated/interlaced/16-bit PNGs — a
+    100 TB crawl always carries some) must NOT fail the task: the row
+    survives with features=NULL and the exception in ``decode_error``,
+    the skip_reason discipline of validate_assets applied to decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode_image(c, deterministic_fake=deterministic_fake).tolist()
-                for c in pdf["content"]
-            ]
+            feats, errs = [], []
+            for c in pdf["content"]:
+                try:
+                    feats.append(decode_image(
+                        c, deterministic_fake=deterministic_fake).tolist())
+                    errs.append(None)
+                except _DECODE_ERRORS as exc:
+                    feats.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
             out = pdf[["url", "asset_path", "fmt"]].copy()
             out["n_bytes"] = [len(c or b"") for c in pdf["content"]]
             out["features"] = feats
+            out["decode_error"] = errs
             yield out
 
     return assets.filter(F.col("kind") == "image").mapInPandas(
@@ -162,6 +181,7 @@ RESIZED_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("content", BinaryType()),
+        StructField("decode_error", StringType()),
     ]
 )
 
@@ -176,7 +196,10 @@ def resize_images_stage(assets: DataFrame, width: int = 224,
     Other formats keep the stub contract (codecs absent): with
     deterministic_fake=True the fake output is md5(content | w | h)-
     seeded bytes, so the stage stays deterministic and the downstream
-    schema/partitioning is real either way."""
+    schema/partitioning is real either way. A PNG-magic asset whose
+    body is corrupt (truncated/interlaced/16-bit) survives as a row
+    with content=NULL and the exception in ``decode_error`` — one bad
+    asset must never fail the task."""
 
     def _resize_png(content: bytes, w: int, h: int) -> bytes:
         from ..kernel.png import decode_png, encode_png
@@ -188,25 +211,33 @@ def resize_images_stage(assets: DataFrame, width: int = 224,
         return encode_png(px[ys][:, xs])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernel.png import PNG_MAGIC
+        from ..kernel.png import sniff_format
 
         for pdf in batches:
-            resized = []
+            resized, errs = [], []
             for c in pdf["content"]:
-                if (c or b"")[:8] == PNG_MAGIC:
-                    resized.append(_resize_png(c, width, height))
+                err = None
+                if sniff_format(c) == "png":
+                    try:
+                        out_bytes = _resize_png(c, width, height)
+                    except _DECODE_ERRORS as exc:
+                        out_bytes = None
+                        err = f"{type(exc).__name__}: {exc}"
                 elif deterministic_fake:
-                    resized.append(hashlib.md5(
-                        (c or b"") + f"|{width}x{height}".encode()).digest())
+                    out_bytes = hashlib.md5(
+                        (c or b"") + f"|{width}x{height}".encode()).digest()
                 else:
                     raise NotImplementedError(
                         "non-PNG resize requires system codecs (not in "
                         "this container); deterministic_fake=True "
                         "exercises the plumbing path")
+                resized.append(out_bytes)
+                errs.append(err)
             out = pdf[["url", "asset_path", "fmt"]].copy()
             out["width"] = width
             out["height"] = height
             out["content"] = resized
+            out["decode_error"] = errs
             yield out
 
     return assets.filter(F.col("kind") == "image").mapInPandas(

@@ -107,13 +107,11 @@ _MAPPING_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def cached_canonical_mapping(spark: SparkSession, kg_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, kg_dir)
-    m = _MAPPING_CACHE.get(key)
-    if m is None:
-        m = canonical_mapping(read_entities(spark, kg_dir)).persist()
-        m.count()
-        _MAPPING_CACHE[key] = m
-    return m
+    from ..util import cached_persist
+
+    return cached_persist(
+        _MAPPING_CACHE, (spark.sparkContext.applicationId, kg_dir),
+        lambda: canonical_mapping(read_entities(spark, kg_dir)))
 
 
 # chunks table, persisted once per (session, kg_dir): multi-branch
@@ -126,13 +124,11 @@ _CHUNKS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def cached_chunks(spark: SparkSession, kg_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, kg_dir)
-    c = _CHUNKS_CACHE.get(key)
-    if c is None:
-        c = build_chunks(spark, kg_dir).persist()
-        c.count()
-        _CHUNKS_CACHE[key] = c
-    return c
+    from ..util import cached_persist
+
+    return cached_persist(
+        _CHUNKS_CACHE, (spark.sparkContext.applicationId, kg_dir),
+        lambda: build_chunks(spark, kg_dir))
 
 
 def build_canonical_triples(spark: SparkSession, kg_dir: str,

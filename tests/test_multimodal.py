@@ -214,3 +214,34 @@ def test_resize_stage_real_png(spark):
     ys = np.minimum((np.arange(6) * 16) // 6, 15)
     xs = np.minimum((np.arange(8) * 12) // 8, 11)
     assert np.array_equal(got, px[ys][:, xs])
+
+
+def test_corrupt_png_survives_as_error_row(spark):
+    """A PNG-magic asset with a corrupt body (truncated, interlaced…)
+    must not fail the stage: features/content go NULL and the
+    exception lands in decode_error, while good assets in the same
+    batch decode normally."""
+    from code_indexer_spark.kernel.png import PNG_MAGIC, encode_png
+    from code_indexer_spark.operators.multimodal import (
+        image_features_stage, resize_images_stage)
+
+    good = encode_png(np.full((4, 4, 3), 9, dtype=np.uint8))
+    truncated = PNG_MAGIC + b"\x00\x00"  # magic, then garbage
+    assets = spark.createDataFrame(
+        [("u", "good.png", "image", bytearray(good), len(good), "png"),
+         ("u", "bad.png", "image", bytearray(truncated), 10, "png")],
+        "url string, asset_path string, kind string, content binary, "
+        "content_len long, fmt string")
+
+    feats = {r.asset_path: r for r in image_features_stage(assets).collect()}
+    assert len(feats["good.png"].features) == 16
+    assert feats["good.png"].decode_error is None
+    assert feats["bad.png"].features is None
+    assert feats["bad.png"].decode_error  # non-empty reason
+
+    res = {r.asset_path: r for r in
+           resize_images_stage(assets, width=2, height=2).collect()}
+    assert res["good.png"].content is not None
+    assert res["good.png"].decode_error is None
+    assert res["bad.png"].content is None
+    assert res["bad.png"].decode_error
