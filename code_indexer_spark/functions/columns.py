@@ -102,3 +102,35 @@ def markdown_image_refs(text: Column | str) -> Column:
         lambda s: (s != "")
         & ~s.startswith("http://") & ~s.startswith("https://"),
     )
+
+
+def canonical_url(url: Column | str) -> Column:
+    """URL canonicalization for crawl dedup, all JVM-side regex — the
+    standard normalizations that make syntactically-different URLs of
+    the same resource compare equal:
+
+    1. fragment stripped (``#...`` never reaches the server);
+    2. scheme + authority lowercased (RFC 3986 §6.2.2.1 — case is only
+       significant in path/query);
+    3. default ports ``:80``/``:443`` dropped from the authority;
+    4. tracking query params removed (``utm_*``, ``fbclid``,
+       ``gclid``), with separator tidy-up so ``?a&`` shapes cannot
+       survive;
+    5. trailing path ``/`` dropped (before the query string too).
+
+    Regex-only by design (portable to the SQL oracle verbatim; no
+    backreferences — Spark `$1` vs DuckDB `\\1` syntax differs); a full
+    RFC parser would additionally sort params and decode %-escapes.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    c = F.regexp_replace(c, r"#.*$", "")                  # 1
+    prefix = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    rest = F.substring(c, F.length(prefix) + 1, 1 << 30)
+    prefix = F.lower(prefix)                              # 2
+    prefix = F.regexp_replace(prefix, r":(80|443)$", "")  # 3
+    rest = F.regexp_replace(rest, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&", "")
+    rest = F.regexp_replace(rest, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$",
+                            "")                           # 4
+    rest = F.regexp_replace(rest, r"/\?", "?")            # 5 (pre-query)
+    rest = F.regexp_replace(rest, r"/$", "")              # 5 (terminal)
+    return F.concat(prefix, rest)

@@ -39,15 +39,16 @@ _SHINGLE_CACHE: dict[tuple[str, int], DataFrame] = {}
 def _cached_shingles(sh: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
-    key = (sh.sparkSession.sparkContext.applicationId,
-           sh._jdf.queryExecution().analyzed().semanticHash())
-    hit = _SHINGLE_CACHE.get(key)
-    if hit is None:
-        # MEMORY_AND_DISK: at the 100 TB shape this spills instead of
-        # evicting-and-recomputing
-        hit = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        _SHINGLE_CACHE[key] = hit
-    return hit
+    from ..util import cached_persist
+
+    # lazy + MEMORY_AND_DISK: at the 100 TB shape this spills instead
+    # of evicting-and-recomputing
+    return cached_persist(
+        _SHINGLE_CACHE,
+        (sh.sparkSession.sparkContext.applicationId,
+         sh._jdf.queryExecution().analyzed().semanticHash()),
+        lambda: sh, eager=False,
+        storage_level=StorageLevel.MEMORY_AND_DISK)
 
 
 def exact_dupes(docs: DataFrame, id_col: str = "doc_id",
@@ -156,6 +157,40 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         )
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
+    )
+
+
+def decontaminate(train: DataFrame, test: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 5) -> DataFrame:
+    """Train/test contamination detection — the benchmark-leakage
+    check every serious training-data pipeline runs before a model
+    sees the corpus (n-gram overlap decontamination à la GPT-3
+    appendix C / PaLM: a training document sharing any k-word shingle
+    with an evaluation document is flagged).
+
+    Returns (train_id, n_shared, first_shingle): one row per
+    CONTAMINATED train document, n_shared = how many distinct k-gram
+    shingles it shares with the test set, first_shingle = the
+    lexicographically first shared shingle (deterministic evidence
+    sample for audit).
+
+    Scale shape: both sides shingle narrowly, the test side collapses
+    to a distinct shingle set (benchmarks are tiny next to a crawl —
+    but it is NOT force-broadcast; AQE promotes the join when it truly
+    fits), one shuffle join on shingle + one groupBy on train id. At
+    10^12 docs the train side dominates and partitions by
+    content-derived shingle hash — no skew beyond natural stop-phrase
+    hotness, which the corpus' own max_df guard (jaccard_pairs) can
+    pre-filter if needed."""
+    tr = word_shingles_df(train, id_col, text_col, k)
+    te = (word_shingles_df(test, id_col, text_col, k)
+          .select("shingle").distinct())
+    return (
+        tr.join(te, "shingle")
+        .groupBy(F.col("id").alias("train_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"),
+             F.min("shingle").alias("first_shingle"))
     )
 
 
@@ -385,6 +420,8 @@ def dedup_resolution(docs: DataFrame, id_col: str = "doc_id",
         )
 
     if until_converged:
+        from ..util import free_local_checkpoint
+
         labels = labels.localCheckpoint(eager=True)
         while True:
             nxt = one_round(labels).localCheckpoint(eager=True)
@@ -394,6 +431,9 @@ def dedup_resolution(docs: DataFrame, id_col: str = "doc_id",
                 .filter(F.col("a.lbl") != F.col("b.lbl"))
                 .count()
             )
+            # previous round's label table is dead once compared —
+            # release its blocks deterministically
+            free_local_checkpoint(labels)
             labels = nxt
             if changed == 0:
                 break
@@ -404,4 +444,25 @@ def dedup_resolution(docs: DataFrame, id_col: str = "doc_id",
         F.col("u").alias(id_col),
         F.col("lbl").alias("keep_id"),
         (F.col("u") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+def url_dupes(docs: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Crawl URL-level dedup: group documents by canonical_url
+    (functions.columns — fragment/case/port/tracking-param/trailing-
+    slash normalization) and emit groups fetched more than once:
+    (canonical_url, n_docs, keep_id = smallest id). The cheap first
+    pass of crawl dedup — same-resource refetches collapse BEFORE any
+    content hashing or shingling runs. One groupBy shuffle on the
+    canonicalized key; narrow regex column math before it."""
+    from ..functions.columns import canonical_url
+
+    return (
+        docs.select(canonical_url(url_col).alias("canonical_url"),
+                    F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
     )

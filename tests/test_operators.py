@@ -551,3 +551,42 @@ def test_empty_docs_make_no_shingles_or_pairs(spark):
     assert word_shingles_df(df).filter("id in (1, 2)").count() == 0
     # two empty docs are NOT a jac=1.0 phantom near-dup pair
     assert jaccard_pairs(df, threshold=0.1).count() == 0
+
+
+def test_canonical_url_rules(spark):
+    """Edge-case pins for the URL canonicalizer: default ports drop,
+    real ports survive, fragments/tracking params strip, trailing and
+    pre-query slashes collapse, scheme+host lowercase but path/query
+    case is preserved (RFC 3986 §6.2.2.1)."""
+    from code_indexer_spark.functions.columns import canonical_url
+
+    cases = {
+        "HTTP://Ex.COM:80/A/?utm_source=x#f": "http://ex.com/A",
+        "https://ex.com:443/p?utm_a=1&id=2": "https://ex.com/p?id=2",
+        "https://ex.com:8080/p/": "https://ex.com:8080/p",
+        "https://Ex.com/p?id=2&gclid=abc": "https://ex.com/p?id=2",
+        "https://ex.com/?fbclid=zz": "https://ex.com",
+        "https://ex.com/CaseKept?Q=V": "https://ex.com/CaseKept?Q=V",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r.url: r.c for r in
+           df.select("url", canonical_url("url").alias("c")).collect()}
+    assert got == cases
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from code_indexer_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated training text with no leak here"),
+         (3, "contains the quick brown fox jumps verbatim inside")],
+        ["doc_id", "text"])
+    test = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps high")],
+        ["doc_id", "text"])
+    rows = {r.train_id: r for r in decontaminate(train, test, k=5).collect()}
+    # docs 1 and 3 share the 5-gram "the quick brown fox jumps"
+    assert set(rows) == {1, 3}
+    assert rows[1].n_shared == 1
+    assert rows[1].first_shingle == "the quick brown fox jumps"
