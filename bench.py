@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     # training-data pipeline ops (round 2)
     "ngram_dup_spans",
     "tfidf_top_terms",
+    # training-data / search ops (round 4)
+    "bm25",
+    "decontaminate",
+    "url_dupes",
     "corpus_mix",
     "scrub_pii",
     "pagerank",

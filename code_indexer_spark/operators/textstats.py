@@ -200,6 +200,65 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def bm25_topk(docs: DataFrame, query_terms: list[str],
+              id_col: str = "doc_id", text_col: str = "text",
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Multi-term BM25 ranking (Lucene IDF variant:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))) — the standard FTS scorer
+    the reference gets from tantivy (tantivy_index_manager.py BM25
+    default), expressed as a declarative plan:
+
+      explode tokens -> FILTER to the query terms -> (doc, term) tf
+
+    The isin() filter sits directly on the exploded tokens, so only
+    query-term postings ever shuffle — the inverted-index access
+    pattern without materializing an index; at 10^12 docs the shuffled
+    volume is O(postings of |q| terms), not O(corpus tokens). df comes
+    from the already-filtered tf table (one tiny agg), doc lengths from
+    a narrow scan, N/avgdl from a 1-row agg (bounded 1-row broadcast).
+    Scores round to 1e-6 and rank on the ROUNDED value, ties by id —
+    the cross-engine discipline shared with tfidf/quality_score. The
+    global top-k is orderBy+limit (TakeOrderedAndProject, no
+    single-partition window); rank is computed on the <= k survivors.
+
+    Returns (id, score, rank)."""
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(tokens_expr(text_col)).alias("term"))
+    tf = (toks.filter(F.col("term").isin(terms))
+          .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(F.col(id_col).alias("id"),
+                     F.size(tokens_expr(text_col)).alias("dl"))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_expr(text_col))).alias("sum_dl"))
+    scored = (
+        tf.join(df_t, "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))  # 1 row — bounded by construction
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)))
+        .withColumn(
+            "term_score",
+            F.col("idf") * (F.col("tf") * (k1 + 1))
+            / (F.col("tf")
+               + k1 * (1 - b + b * F.col("dl")
+                       / (F.col("sum_dl") / F.col("n_docs")))))
+    )
+    topk = (
+        scored.groupBy("id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return topk.withColumn("rank", F.row_number().over(w)) \
+        .select("id", "score", "rank")
+
+
 def deterministic_sample(df: DataFrame, key_col: str,
                          fraction: float) -> DataFrame:
     """Content-keyed Bernoulli sample: keep rows where the first 8 hex

@@ -590,3 +590,25 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert set(rows) == {1, 3}
     assert rows[1].n_shared == 1
     assert rows[1].first_shingle == "the quick brown fox jumps"
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 on a hand corpus: rare-term match outranks common-term
+    matches (IDF dominance), tf saturates rather than growing linearly,
+    and docs containing no query term never appear."""
+    from code_indexer_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"),
+         (2, "apple apple apple apple"),
+         (3, "cherry pie"),
+         (4, "nothing relevant here")],
+        ["doc_id", "text"])
+    rows = bm25_topk(docs, ["apple", "cherry"], k=10).collect()
+    ids = [r.id for r in rows]
+    assert 4 not in ids                      # no query term -> absent
+    assert ids[0] == 3                       # df=1 'cherry' dominates
+    by_id = {r.id: r.score for r in rows}
+    assert by_id[2] > by_id[1]               # higher tf still wins...
+    assert by_id[2] < 4 * by_id[1]           # ...but sublinearly (k1 sat)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))

@@ -35,6 +35,8 @@ GATED = [
     "embedding_dup_pairs_lsh",
     "best_event_per_user",
     "smart_context",
+    "bm25",
+    "decontaminate",
 ]
 
 
