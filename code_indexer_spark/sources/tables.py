@@ -191,3 +191,68 @@ def read_snapshot(spark: SparkSession, table_dir: str,
         with open(os.path.join(table_dir, "_VERSION")) as f:
             version = int(f.read().strip())
     return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+
+
+def snapshot_file_stats(table_dir: str, version: int | None = None) -> dict:
+    """(n_files, total_bytes) of a snapshot's parquet data files —
+    the small-file diagnostic compaction decides on."""
+    import os
+
+    if version is None:
+        with open(os.path.join(table_dir, "_VERSION")) as f:
+            version = int(f.read().strip())
+    vdir = os.path.join(table_dir, f"v={version}")
+    files = [os.path.join(vdir, n) for n in os.listdir(vdir)
+             if n.endswith(".parquet")]
+    return {"version": version, "n_files": len(files),
+            "total_bytes": sum(os.path.getsize(p) for p in files)}
+
+
+def compact_snapshot(spark: SparkSession, table_dir: str,
+                     target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction — the Iceberg ``rewrite_data_files``
+    maintenance action every 100 TB deployment schedules. A streaming
+    MERGE sink commits one snapshot per micro-batch; each commit's
+    files shrink as batches get small, and a month of 30-second
+    triggers leaves millions of KB-sized files whose open/footer
+    overhead dominates scan time. This rewrites the CURRENT snapshot
+    into ceil(total_bytes / target_bytes) files as a NEW version and
+    atomically flips the pointer — readers never observe the rewrite
+    in progress (same snapshot-then-swap as write_snapshot), old
+    versions stay readable for time travel until expire_snapshots.
+
+    Bytes are identical, layout changes: the rewrite is a pure
+    repartition (round-robin — no shuffle key needed for bin-packing;
+    a sort-order compaction would orderBy first). Returns before/after
+    file stats."""
+    import math
+
+    before = snapshot_file_stats(table_dir)
+    n_files = max(1, math.ceil(before["total_bytes"] / target_bytes))
+    df = read_snapshot(spark, table_dir)
+    n = write_snapshot(df.repartition(n_files), table_dir)
+    after = snapshot_file_stats(table_dir, version=n)
+    return {"before": before, "after": after,
+            "target_bytes": target_bytes}
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Iceberg ``expire_snapshots``: drop all but the newest
+    ``keep_last`` snapshot versions (and never the one the _VERSION
+    pointer names — a lagging pointer must stay readable). Returns the
+    versions removed. Time travel keeps working for retained versions;
+    storage stops growing unboundedly under per-micro-batch commits."""
+    import os
+    import shutil
+
+    versions = snapshot_versions(table_dir)
+    with open(os.path.join(table_dir, "_VERSION")) as f:
+        current = int(f.read().strip())
+    keep = set(versions[-keep_last:]) | {current}
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(table_dir, f"v={v}"),
+                          ignore_errors=True)
+            removed.append(v)
+    return removed

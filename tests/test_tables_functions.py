@@ -137,3 +137,51 @@ def test_reconcile_status_null_hash_presence(spark):
            for r in reconcile_status(indexed, current, ["k"]).collect()}
     assert got == {"u1": "deleted", "u2": "changed",
                    "u3": "same", "u4": "added"}
+
+
+def test_compact_snapshot_preserves_values_reduces_files(spark, tmp_path):
+    """Compaction (Iceberg rewrite_data_files analog): many-file
+    snapshot -> few-file snapshot as a NEW atomically-committed
+    version; values byte-identical, old version retained for time
+    travel."""
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.sources.tables import (
+        compact_snapshot, read_snapshot, snapshot_file_stats,
+        snapshot_versions, write_snapshot)
+
+    table = str(tmp_path / "tbl")
+    df = spark.range(1000).withColumn(
+        "payload", F.md5(F.col("id").cast("string")))
+    write_snapshot(df.repartition(32), table)  # simulate tiny commits
+    before = snapshot_file_stats(table)
+    assert before["n_files"] == 32
+
+    def value_hash(d):
+        return d.select(F.md5(F.concat_ws("|", "id", "payload"))
+                        .alias("h")).agg(
+            F.expr("bit_xor(xxhash64(h))").alias("x")).collect()[0]["x"]
+
+    h0 = value_hash(read_snapshot(spark, table))
+    stats = compact_snapshot(spark, table, target_bytes=1 << 30)
+    assert stats["after"]["n_files"] == 1          # all fits one target
+    assert value_hash(read_snapshot(spark, table)) == h0
+    # old version still readable (time travel), pointer moved on
+    vs = snapshot_versions(table)
+    assert len(vs) == 2
+    assert value_hash(read_snapshot(spark, table, version=vs[0])) == h0
+
+
+def test_expire_snapshots_keeps_current_and_last_n(spark, tmp_path):
+    from code_indexer_spark.sources.tables import (
+        expire_snapshots, read_snapshot, snapshot_versions, write_snapshot)
+
+    table = str(tmp_path / "tbl")
+    for i in range(5):
+        write_snapshot(spark.range(10 + i), table)
+    assert snapshot_versions(table) == [1, 2, 3, 4, 5]
+    removed = expire_snapshots(table, keep_last=2)
+    assert removed == [1, 2, 3]
+    assert snapshot_versions(table) == [4, 5]
+    assert read_snapshot(spark, table).count() == 14       # pointer = v5
+    assert read_snapshot(spark, table, version=4).count() == 13
