@@ -85,10 +85,25 @@ def impact_bfs(edges: DataFrame, seeds: DataFrame,
 
 
 def call_chains(edges: DataFrame, from_node: str, to_node: str,
-                max_depth: int = 5) -> DataFrame:
-    """(path array<string>, depth) — all simple paths from->to up to
+                max_depth: int = 5,
+                max_paths: int | None = None) -> DataFrame:
+    """(path array<string>, depth) — simple paths from->to up to
     max_depth, shortest first (G5 trace_call_chain: cycle detection via
-    ~array_contains, dedupe, orderBy(size(path))."""
+    ~array_contains, dedupe, orderBy(size(path)).
+
+    ``max_paths`` is the combinatorial-explosion guard for dense
+    graphs: between two hubs the number of simple paths grows
+    factorially with depth (a 20k-page KG fixture already yields 721k
+    depth-4 paths hub-to-hub — at web scale this enumeration is
+    unbounded). With a cap, each round's frontier is truncated to the
+    lexicographically-first max_paths prefixes via orderBy+limit
+    (TakeOrderedAndProject — no single-partition window). The result
+    is EXACT for "the first max_paths simple paths in (depth,
+    lexicographic) order": BFS expands depth uniformly, completions
+    preserve prefix order (equal-depth prefixes are never prefixes of
+    each other), and completed paths are recorded before the round's
+    truncation — so every path the cap drops sorts after every path it
+    keeps."""
     paths = (
         edges.filter(F.col("src") == from_node)
         .select(F.array(F.col("src"), F.col("dst")).alias("path"),
@@ -98,6 +113,10 @@ def call_chains(edges: DataFrame, from_node: str, to_node: str,
     done = paths.filter(F.col("head") == to_node).select("path")
     frontier = paths.filter(F.col("head") != to_node)
     for _ in range(2, max_depth + 1):
+        if max_paths is not None:
+            frontier = (frontier
+                        .orderBy(F.array_join("path", ">"))
+                        .limit(max_paths))
         ext = (
             frontier.alias("p")
             .join(edges.alias("e"), F.col("p.head") == F.col("e.src"))
@@ -113,11 +132,12 @@ def call_chains(edges: DataFrame, from_node: str, to_node: str,
         done = done.unionByName(ext.filter(F.col("head") == to_node)
                                 .select("path"))
         frontier = ext.filter(F.col("head") != to_node)
-    return (
+    out = (
         done.distinct()
         .select("path", F.size("path").alias("depth"))
         .orderBy("depth", F.array_join("path", ">"))
     )
+    return out.limit(max_paths) if max_paths is not None else out
 
 
 def smart_context(definitions: DataFrame, dependents: DataFrame,

@@ -612,3 +612,24 @@ def test_bm25_ranking_properties(spark):
     assert by_id[2] > by_id[1]               # higher tf still wins...
     assert by_id[2] < 4 * by_id[1]           # ...but sublinearly (k1 sat)
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_call_chains_max_paths_exact_prefix(spark):
+    """The explosion cap must be EXACT: capped output equals the first
+    N rows of the uncapped enumeration in (depth, lexicographic) order
+    — verified on a small dense graph where truncation actually bites
+    (frontier wider than the cap)."""
+    from code_indexer_spark.operators.graph import call_chains
+
+    # K5-ish: s -> {a,b,c,d} -> each other -> t (many simple paths)
+    mids = ["a", "b", "c", "d"]
+    edges = ([("s", m) for m in mids] + [(m, "t") for m in mids]
+             + [(m, n) for m in mids for n in mids if m != n])
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    full = [(tuple(r.path), r.depth) for r in
+            call_chains(df, "s", "t", max_depth=5).collect()]
+    for cap in (3, 7, 20):
+        got = [(tuple(r.path), r.depth) for r in
+               call_chains(df, "s", "t", max_depth=5,
+                           max_paths=cap).collect()]
+        assert got == full[:cap], cap
