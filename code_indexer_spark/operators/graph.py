@@ -97,13 +97,15 @@ def call_chains(edges: DataFrame, from_node: str, to_node: str,
     depth-4 paths hub-to-hub — at web scale this enumeration is
     unbounded). With a cap, each round's frontier is truncated to the
     lexicographically-first max_paths prefixes via orderBy+limit
-    (TakeOrderedAndProject — no single-partition window). The result
-    is EXACT for "the first max_paths simple paths in (depth,
-    lexicographic) order": BFS expands depth uniformly, completions
-    preserve prefix order (equal-depth prefixes are never prefixes of
-    each other), and completed paths are recorded before the round's
-    truncation — so every path the cap drops sorts after every path it
-    keeps."""
+    (TakeOrderedAndProject — no single-partition window), and the
+    output to the first max_paths completed paths in (depth, lex)
+    order. This is a DETERMINISTIC BEAM: it returns exactly the full
+    enumeration whenever no round's frontier exceeds the cap (the
+    fixture case — pinned), and otherwise every completion reachable
+    within the beam — completions of dropped prefixes may be missed,
+    because whether a prefix completes is unknowable without exploring
+    it. Size the cap to the frontier you can afford, not to the output
+    you want."""
     paths = (
         edges.filter(F.col("src") == from_node)
         .select(F.array(F.col("src"), F.col("dst")).alias("path"),

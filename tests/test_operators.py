@@ -615,10 +615,13 @@ def test_bm25_ranking_properties(spark):
 
 
 def test_call_chains_max_paths_exact_prefix(spark):
-    """The explosion cap must be EXACT: capped output equals the first
-    N rows of the uncapped enumeration in (depth, lexicographic) order
-    — verified on a small dense graph where truncation actually bites
-    (frontier wider than the cap)."""
+    """Beam exact-case property: when every kept prefix completes
+    (K5-ish graph — each mid node has an edge to the target), the
+    capped output equals the first N rows of the uncapped enumeration
+    in (depth, lexicographic) order, even when truncation bites. In
+    general the beam may miss completions of dropped prefixes (see
+    call_chains docstring); the fixture pin covers the
+    no-truncation-exact case."""
     from code_indexer_spark.operators.graph import call_chains
 
     # K5-ish: s -> {a,b,c,d} -> each other -> t (many simple paths)
