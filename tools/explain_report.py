@@ -35,6 +35,10 @@ REPORT_QUERIES = [
     "kg_triples",           # Arrow UDF stage + broadcast mapping joins
     "kg_search",            # codegen cosine scoring over literal query vec
     "kg_time_range",        # warc_ts predicate pushed below the UDF stage
+    "bm25",                 # postings isin() filter BEFORE the shuffle
+    "decontaminate",        # test-shingle join, no forced broadcast
+    "tfidf_top_terms",      # plain shuffle join on the vocabulary df
+    "url_dupes",            # narrow regex math + one groupBy
 ]
 
 
