@@ -221,8 +221,16 @@ def bm25_topk(docs: DataFrame, query_terms: list[str],
     global top-k is orderBy+limit (TakeOrderedAndProject, no
     single-partition window); rank is computed on the <= k survivors.
 
+    A query term given twice weights that term's contribution twice
+    (Lucene sums per query-term occurrence, not per distinct term) —
+    implemented as a literal multiplicity map, so the plan is unchanged
+    for the common all-distinct case (every weight 1).
+
     Returns (id, score, rank)."""
-    terms = [t.lower() for t in query_terms]
+    from collections import Counter
+
+    weights = Counter(t.lower() for t in query_terms)
+    terms = sorted(weights)
     toks = docs.select(F.col(id_col).alias("id"),
                        F.explode(tokens_expr(text_col)).alias("term"))
     tf = (toks.filter(F.col("term").isin(terms))
@@ -246,7 +254,12 @@ def bm25_topk(docs: DataFrame, query_terms: list[str],
             F.col("idf") * (F.col("tf") * (k1 + 1))
             / (F.col("tf")
                + k1 * (1 - b + b * F.col("dl")
-                       / (F.col("sum_dl") / F.col("n_docs")))))
+                       / (F.col("sum_dl") / F.col("n_docs"))))
+            * F.element_at(
+                F.create_map(*[x for t in terms
+                               for x in (F.lit(t),
+                                         F.lit(float(weights[t])))]),
+                F.col("term")))
     )
     topk = (
         scored.groupBy("id")

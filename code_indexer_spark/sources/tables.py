@@ -224,15 +224,44 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     Bytes are identical, layout changes: the rewrite is a pure
     repartition (round-robin — no shuffle key needed for bin-packing;
     a sort-order compaction would orderBy first). Returns before/after
-    file stats."""
-    import math
+    file stats.
 
-    before = snapshot_file_stats(table_dir)
+    Concurrency: the base version is resolved ONCE, and after the
+    rewrite the pointer is re-checked — if a writer committed a newer
+    snapshot meanwhile, compaction ABORTS (removes its rewrite dir,
+    returns {"conflict": True, ...}) instead of flipping the pointer
+    past the new commit and losing its rows. The check narrows the
+    lost-update window from the whole rewrite to the check-then-flip
+    instant; a real Iceberg catalog closes it completely with a CAS on
+    the metadata pointer, which a parquet-dir stand-in cannot express —
+    schedule compaction from the writer (single-committer), as Iceberg
+    deployments do."""
+    import math
+    import os
+    import shutil
+
+    with open(os.path.join(table_dir, "_VERSION")) as f:
+        base = int(f.read().strip())
+    before = snapshot_file_stats(table_dir, version=base)
     n_files = max(1, math.ceil(before["total_bytes"] / target_bytes))
-    df = read_snapshot(spark, table_dir)
-    n = write_snapshot(df.repartition(n_files), table_dir)
+    df = read_snapshot(spark, table_dir, version=base)
+    # write the rewrite dir WITHOUT committing, then check-then-flip
+    versions = snapshot_versions(table_dir)
+    n = (versions[-1] + 1) if versions else 1
+    vdir = os.path.join(table_dir, f"v={n}")
+    df.repartition(n_files).write.mode("overwrite").parquet(vdir)
+    with open(os.path.join(table_dir, "_VERSION")) as f:
+        now = int(f.read().strip())
+    if now != base:
+        shutil.rmtree(vdir, ignore_errors=True)
+        return {"conflict": True, "base": base, "committed": now,
+                "before": before, "target_bytes": target_bytes}
+    tmp = os.path.join(table_dir, "_VERSION.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(n))
+    os.replace(tmp, os.path.join(table_dir, "_VERSION"))
     after = snapshot_file_stats(table_dir, version=n)
-    return {"before": before, "after": after,
+    return {"conflict": False, "before": before, "after": after,
             "target_bytes": target_bytes}
 
 
@@ -248,11 +277,17 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
     versions = snapshot_versions(table_dir)
     with open(os.path.join(table_dir, "_VERSION")) as f:
         current = int(f.read().strip())
-    keep = set(versions[-keep_last:]) | {current}
+    # versions[-0:] would be the WHOLE list — keep_last=0 must mean
+    # "keep only the pointer target", not a silent no-op
+    keep = (set(versions[-keep_last:]) if keep_last > 0 else set()) \
+        | {current}
     removed = []
     for v in versions:
         if v not in keep:
-            shutil.rmtree(os.path.join(table_dir, f"v={v}"),
-                          ignore_errors=True)
-            removed.append(v)
+            vdir = os.path.join(table_dir, f"v={v}")
+            shutil.rmtree(vdir, ignore_errors=True)
+            # only report versions actually gone: a directory rmtree
+            # couldn't delete must not be accounted as reclaimed
+            if not os.path.isdir(vdir):
+                removed.append(v)
     return removed

@@ -636,3 +636,18 @@ def test_call_chains_max_paths_exact_prefix(spark):
                call_chains(df, "s", "t", max_depth=5,
                            max_paths=cap).collect()]
         assert got == full[:cap], cap
+
+
+def test_bm25_duplicate_query_terms_weighted(spark):
+    """Lucene sums per query-term OCCURRENCE: a term given twice must
+    contribute exactly twice its single weight."""
+    from code_indexer_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry"), (3, "other words")],
+        ["doc_id", "text"])
+    single = {r.id: r.score for r in
+              bm25_topk(docs, ["apple"], k=10).collect()}
+    double = {r.id: r.score for r in
+              bm25_topk(docs, ["apple", "apple"], k=10).collect()}
+    assert double[1] == pytest.approx(2 * single[1], abs=2e-6)

@@ -185,3 +185,53 @@ def test_expire_snapshots_keeps_current_and_last_n(spark, tmp_path):
     assert snapshot_versions(table) == [4, 5]
     assert read_snapshot(spark, table).count() == 14       # pointer = v5
     assert read_snapshot(spark, table, version=4).count() == 13
+
+
+def test_compact_snapshot_aborts_on_concurrent_commit(spark, tmp_path):
+    """A snapshot committed between compaction's base read and its
+    pointer flip must NOT be superseded: compaction detects the moved
+    pointer, removes its rewrite dir, and reports a conflict."""
+    import os
+
+    from code_indexer_spark.sources.tables import (
+        read_snapshot, snapshot_versions, write_snapshot)
+
+    table = str(tmp_path / "tbl")
+    write_snapshot(spark.range(100), table)
+
+    # deterministically interleave a concurrent commit INSIDE the
+    # rewrite window: wrap read_snapshot so the competing writer lands
+    # v=2 after compaction resolved base=1 but before its pointer flip
+    from code_indexer_spark.sources import tables as T
+
+    real_read = T.read_snapshot
+
+    def read_and_commit(sp, td, version=None):
+        df = real_read(sp, td, version=version)
+        # a concurrent writer lands v=2 while compaction rewrites
+        write_snapshot(spark.range(200), td)
+        return df
+
+    T.read_snapshot, orig = read_and_commit, T.read_snapshot
+    try:
+        stats = T.compact_snapshot(spark, table, target_bytes=1 << 30)
+    finally:
+        T.read_snapshot = orig
+    assert stats["conflict"] is True
+    # the concurrent commit survives as the current snapshot
+    assert read_snapshot(spark, table).count() == 200
+    # no orphan rewrite dir was committed or left behind beyond v=1,v=2
+    assert snapshot_versions(table) == [1, 2]
+    assert not os.path.exists(os.path.join(table, "v=3"))
+
+
+def test_expire_snapshots_keep_last_zero(spark, tmp_path):
+    from code_indexer_spark.sources.tables import (
+        expire_snapshots, snapshot_versions, write_snapshot)
+
+    table = str(tmp_path / "tbl")
+    for i in range(3):
+        write_snapshot(spark.range(5 + i), table)
+    removed = expire_snapshots(table, keep_last=0)
+    assert removed == [1, 2]
+    assert snapshot_versions(table) == [3]  # only the pointer target
