@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "bm25",
     "decontaminate",
     "url_dupes",
+    "domain_cap",
     "corpus_mix",
     "scrub_pii",
     "pagerank",

@@ -272,6 +272,35 @@ def bm25_topk(docs: DataFrame, query_terms: list[str],
         .select("id", "score", "rank")
 
 
+def domain_cap(docs: DataFrame, group_col: str = "source",
+               key_col: str = "doc_id", cap: int = 50) -> DataFrame:
+    """Per-domain document cap — the crawl-mix guard that stops one
+    giant site from dominating a training corpus (the per-domain
+    page-count caps of C4/RefinedWeb-style pipelines).
+
+    Keeps at most ``cap`` documents per group, selected by a
+    content-keyed md5 rank (same discipline as deterministic_sample):
+    which documents survive depends only on their own keys, so the
+    selection is deterministic across engines and partitionings AND
+    stable under corpus growth — adding new documents can displace at
+    most the largest-hash survivors, never reshuffle the whole choice.
+
+    Plan: one window partitioned BY GROUP (parallel across domains —
+    not a global window; no Exchange SinglePartition) over narrow
+    (group, key, hash) rows. Returns (group, key, rk) for the
+    survivors."""
+    h = F.md5(F.concat_ws("|", F.col(group_col).cast("string"),
+                          F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(),
+                                              F.col(key_col).asc())
+    return (
+        docs.select(F.col(group_col).alias("grp"),
+                    F.col(key_col).alias("key"),
+                    F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= cap)
+    )
+
+
 def deterministic_sample(df: DataFrame, key_col: str,
                          fraction: float) -> DataFrame:
     """Content-keyed Bernoulli sample: keep rows where the first 8 hex

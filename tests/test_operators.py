@@ -651,3 +651,28 @@ def test_bm25_duplicate_query_terms_weighted(spark):
     double = {r.id: r.score for r in
               bm25_topk(docs, ["apple", "apple"], k=10).collect()}
     assert double[1] == pytest.approx(2 * single[1], abs=2e-6)
+
+
+def test_domain_cap_deterministic_and_growth_stable(spark):
+    from code_indexer_spark.operators.textstats import domain_cap
+
+    docs = [(i, f"src{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(docs, ["doc_id", "source"])
+    kept = {(r.grp, r.key) for r in domain_cap(df, cap=5).collect()}
+    # exactly cap per group, deterministic across invocations
+    from collections import Counter
+    per = Counter(g for g, _ in kept)
+    assert per == {"src0": 5, "src1": 5, "src2": 5}
+    assert kept == {(r.grp, r.key)
+                    for r in domain_cap(df, cap=5).collect()}
+    # growth stability: a doc kept under the GROWN corpus that already
+    # existed before was also kept before (hash rank depends only on
+    # the doc's own key — growth can only displace the tail, never
+    # promote a previously-rejected old doc)
+    grown = spark.createDataFrame(
+        docs + [(100 + i, f"src{i % 3}") for i in range(30)],
+        ["doc_id", "source"])
+    kept_grown = {(r.grp, r.key)
+                  for r in domain_cap(grown, cap=5).collect()}
+    old_ids = {i for i, _ in docs}
+    assert {(g, k) for g, k in kept_grown if k in old_ids} <= kept
