@@ -148,11 +148,51 @@ def main() -> None:
     }
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "data", "scaling_latest.json")
+    scaling = None
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling"] = json.load(f)
+            scaling = json.load(f)
+        out["scaling"] = scaling
     spark.stop()
     print(json.dumps(out))
+
+    # VERDICT r4 item 3: the driver records only a 2000-char stdout
+    # tail, and the full line above outgrew it in r4 (parsed: null, the
+    # calibration numbers cut off). The LAST line is therefore a
+    # compact (<= 500 chars, enforced) summary that still satisfies the
+    # driver contract ({"metric","value","unit","queries","sf"}) and
+    # always carries the decision-relevant numbers: totals, the
+    # calibration pair, scaling efficiency, and the top-5 calibrated
+    # queries. Full detail is the line above.
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "bench_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "cpus": int(cpus),
+        "n_queries": len(timings),
+        "calibration_start_sec": round(calib_start, 3),
+        "calibration_end_sec": round(calib_end, 3),
+        "queries": top5,
+        "queries_calibrated": {
+            name: round(t / calib_sec, 2) for name, t in top5.items()},
+        **{k: extras[k] for k in ("triples_per_sec", "pages_per_sec")
+           if k in extras},
+    }
+    if scaling is not None:
+        if "scaling_efficiency_median" in scaling:
+            compact["scaling_median_eff"] = scaling[
+                "scaling_efficiency_median"]
+        if "scaling_efficiency" in scaling:
+            compact["scaling_best_eff"] = scaling["scaling_efficiency"]
+    line = json.dumps(compact)
+    while len(line) > 500 and compact["queries"]:
+        drop = min(compact["queries"], key=lambda n: compact["queries"][n])
+        compact["queries"].pop(drop)
+        compact["queries_calibrated"].pop(drop, None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -112,25 +112,43 @@ def canonical_url(url: Column | str) -> Column:
     1. fragment stripped (``#...`` never reaches the server);
     2. scheme + authority lowercased (RFC 3986 §6.2.2.1 — case is only
        significant in path/query);
-    3. default ports ``:80``/``:443`` dropped from the authority;
+    3. default ports dropped SCHEME-AWARE: ``:80`` only under
+       ``http://``, ``:443`` only under ``https://`` —
+       ``http://h:443/x`` names a real non-default-port resource and
+       must NOT collapse onto ``http://h/x``;
     4. tracking query params removed (``utm_*``, ``fbclid``,
-       ``gclid``), with separator tidy-up so ``?a&`` shapes cannot
-       survive;
+       ``gclid``), each match ANCHORED on its ``?``/``&`` separator so
+       a param merely *containing* a tracking name (``?xfbclid=1``) or
+       a tracking-shaped VALUE (``?r=utm_x=1&y=2``) is never touched;
+       separator tidy-up so ``?a&`` shapes cannot survive;
     5. trailing path ``/`` dropped (before the query string too).
 
     Regex-only by design (portable to the SQL oracle verbatim; no
-    backreferences — Spark `$1` vs DuckDB `\\1` syntax differs); a full
-    RFC parser would additionally sort params and decode %-escapes.
+    backreferences — Spark `$1` vs DuckDB `\\1` syntax differs), which
+    is why step 4 is a three-pass separator-anchored strip instead of a
+    single backreferencing rewrite: (a) drop every ``&trk=v`` (the
+    separator is consumed with the param, so following params keep
+    their ``&``); after (a) at most the FIRST param can still be a
+    tracker, so (b) rewrite ``?trk=v&`` -> ``?`` and (c) drop a lone
+    ``?trk=v`` at end-of-string. A full RFC parser would additionally
+    sort params and decode %-escapes.
     """
+    trk = r"(utm_[a-z]+|fbclid|gclid)"
     c = F.col(url) if isinstance(url, str) else url
     c = F.regexp_replace(c, r"#.*$", "")                  # 1
     prefix = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
     rest = F.substring(c, F.length(prefix) + 1, 1 << 30)
     prefix = F.lower(prefix)                              # 2
-    prefix = F.regexp_replace(prefix, r":(80|443)$", "")  # 3
-    rest = F.regexp_replace(rest, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&", "")
-    rest = F.regexp_replace(rest, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$",
-                            "")                           # 4
+    prefix = (                                            # 3
+        F.when(prefix.startswith("http://"),
+               F.regexp_replace(prefix, r":80$", ""))
+        .when(prefix.startswith("https://"),
+              F.regexp_replace(prefix, r":443$", ""))
+        .otherwise(prefix)
+    )
+    rest = F.regexp_replace(rest, "&" + trk + r"=[^&#]*", "")       # 4a
+    rest = F.regexp_replace(rest, r"\?" + trk + r"=[^&#]*&", "?")   # 4b
+    rest = F.regexp_replace(rest, r"\?" + trk + r"=[^&#]*$", "")    # 4c
     rest = F.regexp_replace(rest, r"/\?", "?")            # 5 (pre-query)
     rest = F.regexp_replace(rest, r"/$", "")              # 5 (terminal)
     return F.concat(prefix, rest)

@@ -41,14 +41,28 @@ def _cached_shingles(sh: DataFrame) -> DataFrame:
 
     from ..util import cached_persist
 
-    # lazy + MEMORY_AND_DISK: at the 100 TB shape this spills instead
-    # of evicting-and-recomputing
-    return cached_persist(
-        _SHINGLE_CACHE,
-        (sh.sparkSession.sparkContext.applicationId,
-         sh._jdf.queryExecution().analyzed().semanticHash()),
-        lambda: sh, eager=False,
-        storage_level=StorageLevel.MEMORY_AND_DISK)
+    # semanticHash is only a 32-bit prefilter — Spark itself always
+    # pairs it with sameResult() — so a hit must CONFIRM the stored
+    # plan really is this plan before serving it (ADVICE r4: a
+    # colliding hash must never serve the wrong persisted shingle
+    # table). Distinct same-hash plans get salted key slots; after 16
+    # colliding plans (astronomically unlikely) we skip caching rather
+    # than evict someone else's live entry.
+    analyzed = sh._jdf.queryExecution().analyzed()
+    base = (sh.sparkSession.sparkContext.applicationId,
+            analyzed.semanticHash())
+    for slot in range(16):
+        key = base + (slot,)
+        hit = _SHINGLE_CACHE.get(key)
+        if hit is not None and not (
+                hit._jdf.queryExecution().analyzed().sameResult(analyzed)):
+            continue
+        # lazy + MEMORY_AND_DISK: at the 100 TB shape this spills
+        # instead of evicting-and-recomputing
+        return cached_persist(
+            _SHINGLE_CACHE, key, lambda: sh, eager=False,
+            storage_level=StorageLevel.MEMORY_AND_DISK)
+    return sh
 
 
 def exact_dupes(docs: DataFrame, id_col: str = "doc_id",

@@ -106,6 +106,8 @@ def call_chains(edges: DataFrame, from_node: str, to_node: str,
     because whether a prefix completes is unknowable without exploring
     it. Size the cap to the frontier you can afford, not to the output
     you want."""
+    from ..util import free_local_checkpoint
+
     paths = (
         edges.filter(F.col("src") == from_node)
         .select(F.array(F.col("src"), F.col("dst")).alias("path"),
@@ -114,6 +116,16 @@ def call_chains(edges: DataFrame, from_node: str, to_node: str,
     )
     done = paths.filter(F.col("head") == to_node).select("path")
     frontier = paths.filter(F.col("head") != to_node)
+    # Superseded rounds are released deterministically (the
+    # pagerank/dedup_resolution discipline): `done` is re-checkpointed
+    # each round so it stops referencing earlier ext checkpoints, after
+    # which the PREVIOUS ext (consumed into this round's ext and into
+    # the new done) is safe to free — without the done checkpoint,
+    # unpersisting an ext that done's lineage still needs would lose
+    # data (localCheckpoint truncates lineage; blocks can't recompute).
+    # At most 2 ext + 2 done round tables are ever pinned; exactly one
+    # (the final done) survives the loop.
+    prev_ext = prev_done = None
     for _ in range(2, max_depth + 1):
         if max_paths is not None:
             frontier = (frontier
@@ -130,10 +142,20 @@ def call_chains(edges: DataFrame, from_node: str, to_node: str,
         )
         ext = ext.localCheckpoint(eager=True)
         if ext.isEmpty():
+            free_local_checkpoint(ext)
             break
-        done = done.unionByName(ext.filter(F.col("head") == to_node)
-                                .select("path"))
+        done = (done.unionByName(ext.filter(F.col("head") == to_node)
+                                 .select("path"))
+                .localCheckpoint(eager=True))
+        if prev_ext is not None:
+            free_local_checkpoint(prev_ext)
+        if prev_done is not None:
+            free_local_checkpoint(prev_done)
+        prev_ext, prev_done = ext, done
         frontier = ext.filter(F.col("head") != to_node)
+    # the final ext feeds only the dead frontier; done is self-contained
+    if prev_ext is not None:
+        free_local_checkpoint(prev_ext)
     out = (
         done.distinct()
         .select("path", F.size("path").alias("depth"))

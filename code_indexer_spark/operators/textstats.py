@@ -202,7 +202,8 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
 
 def bm25_topk(docs: DataFrame, query_terms: list[str],
               id_col: str = "doc_id", text_col: str = "text",
-              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              dl_col: str | None = None) -> DataFrame:
     """Multi-term BM25 ranking (Lucene IDF variant:
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))) — the standard FTS scorer
     the reference gets from tantivy (tantivy_index_manager.py BM25
@@ -213,9 +214,24 @@ def bm25_topk(docs: DataFrame, query_terms: list[str],
     The isin() filter sits directly on the exploded tokens, so only
     query-term postings ever shuffle — the inverted-index access
     pattern without materializing an index; at 10^12 docs the shuffled
-    volume is O(postings of |q| terms), not O(corpus tokens). df comes
-    from the already-filtered tf table (one tiny agg), doc lengths from
-    a narrow scan, N/avgdl from a 1-row agg (bounded 1-row broadcast).
+    volume is O(postings of |q| terms), not O(corpus tokens). Document
+    length rides ALONG with the postings (size(t) projected before the
+    explode, reduced with min() in the tf agg — constant per doc), so
+    there is no separate doc-length relation and no dl join (the r4
+    plan tokenized dl in its own subtree and shuffle-joined it back on
+    id); df comes from the already-filtered tf table (one tiny
+    partial-agg — NOT a per-term window, which would serialize a
+    stopword term's 10^11 postings into one task); N/avgdl from a
+    1-row agg (bounded 1-row broadcast).
+
+    Honest pass count: df's re-aggregation of tf re-expands the
+    postings subtree (Catalyst plans the two consumers independently
+    and column-pruning divergence defeats exchange reuse — measured,
+    not assumed), so the DEFAULT plan runs 2 explode passes + 1
+    generate-free size() pass over the text column (r4 ran 2 + 2 plus
+    the dl join). At rest a real deployment stores doc length as a
+    column; pass ``dl_col`` to use it — then dl/stats tokenize nothing
+    and the text column is tokenized only under the postings filter.
     Scores round to 1e-6 and rank on the ROUNDED value, ties by id —
     the cross-engine discipline shared with tfidf/quality_score. The
     global top-k is orderBy+limit (TakeOrderedAndProject, no
@@ -231,19 +247,27 @@ def bm25_topk(docs: DataFrame, query_terms: list[str],
 
     weights = Counter(t.lower() for t in query_terms)
     terms = sorted(weights)
-    toks = docs.select(F.col(id_col).alias("id"),
-                       F.explode(tokens_expr(text_col)).alias("term"))
-    tf = (toks.filter(F.col("term").isin(terms))
-          .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    if dl_col is not None:
+        base = docs.select(F.col(id_col).alias("id"),
+                           F.col(dl_col).cast("long").alias("dl"),
+                           tokens_expr(text_col).alias("t"))
+        stats_dl = F.col(dl_col).cast("long")
+    else:
+        base = docs.select(F.col(id_col).alias("id"),
+                           tokens_expr(text_col).alias("t")) \
+            .select("id", F.size("t").alias("dl"), "t")
+        stats_dl = F.size(tokens_expr(text_col))
+    ex = base.select("id", "dl", F.explode("t").alias("term"))
+    tf = (ex.filter(F.col("term").isin(terms))
+          .groupBy("id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"),
+               F.min("dl").alias("dl")))  # dl constant per id
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dl = docs.select(F.col(id_col).alias("id"),
-                     F.size(tokens_expr(text_col)).alias("dl"))
     stats = docs.select(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens_expr(text_col))).alias("sum_dl"))
+        F.sum(stats_dl).alias("sum_dl"))
     scored = (
         tf.join(df_t, "term")
-        .join(dl, "id")
         .crossJoin(F.broadcast(stats))  # 1 row — bounded by construction
         .withColumn(
             "idf",
@@ -273,7 +297,8 @@ def bm25_topk(docs: DataFrame, query_terms: list[str],
 
 
 def domain_cap(docs: DataFrame, group_col: str = "source",
-               key_col: str = "doc_id", cap: int = 50) -> DataFrame:
+               key_col: str = "doc_id", cap: int = 50,
+               salt_buckets: int = 64) -> DataFrame:
     """Per-domain document cap — the crawl-mix guard that stops one
     giant site from dominating a training corpus (the per-domain
     page-count caps of C4/RefinedWeb-style pipelines).
@@ -285,18 +310,55 @@ def domain_cap(docs: DataFrame, group_col: str = "source",
     stable under corpus growth — adding new documents can displace at
     most the largest-hash survivors, never reshuffle the whole choice.
 
-    Plan: one window partitioned BY GROUP (parallel across domains —
-    not a global window; no Exchange SinglePartition) over narrow
-    (group, key, hash) rows. Returns (group, key, rk) for the
-    survivors."""
-    h = F.md5(F.concat_ws("|", F.col(group_col).cast("string"),
-                          F.col(key_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(h.asc(),
-                                              F.col(key_col).asc())
+    Plan — salted two-phase top-k, EXACT by construction (no
+    probabilistic prefilter, no fallback path):
+
+    1. window over ``(group, salt)`` where salt = 16 low bits of the
+       row's own md5 hash mod ``salt_buckets``; keep per-salt rank
+       <= cap. A mega-domain (10^8-10^9 pages of one host in a real
+       crawl) splits into ``salt_buckets`` parallel sort tasks instead
+       of serializing into ONE window partition — the skew AQE cannot
+       fix (it can split joins, never window partitions).
+    2. the exact window over the survivors — at most
+       ``salt_buckets * cap`` narrow rows per group.
+
+    Exactness: every row of a group's true top-``cap`` (by (hash, key)
+    asc) has < cap rows before it globally, hence < cap before it in
+    its own salt bucket, so it survives phase 1; all globally-preceding
+    rows survive with it, so its phase-2 rank equals its global rank.
+    Conversely a row ranked > cap globally is preceded by >= cap
+    survivors, so phase 2 filters it. Output is row-identical to the
+    single-window plan (the SQL oracle keeps the one-window form).
+
+    Hash inputs are null-coalesced to '' on BOTH engines — DuckDB's
+    ``||`` nulls the whole key while concat_ws skips nulls, so a NULL
+    group would otherwise rank differently per engine.
+
+    Returns (group, key, rk) for the survivors."""
+    h = F.md5(F.concat_ws(
+        "|",
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+    ))
+    base = docs.select(F.col(group_col).alias("grp"),
+                       F.col(key_col).alias("key"), h.alias("h"))
+    # salt from the LOW hex digits: phase-1 order is by h asc, so using
+    # high digits would send the globally-smallest hashes to bucket 0
+    salt = F.pmod(F.conv(F.substring("h", 29, 4), 16, 10).cast("int"),
+                  F.lit(salt_buckets))
+    w1 = Window.partitionBy("grp", "salt").orderBy(F.col("h").asc(),
+                                                   F.col("key").asc())
+    survivors = (
+        base.withColumn("salt", salt)
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= cap)
+        .select("grp", "key", "h")
+    )
+    w2 = Window.partitionBy("grp").orderBy(F.col("h").asc(),
+                                           F.col("key").asc())
     return (
-        docs.select(F.col(group_col).alias("grp"),
-                    F.col(key_col).alias("key"),
-                    F.row_number().over(w).alias("rk"))
+        survivors.select("grp", "key",
+                         F.row_number().over(w2).alias("rk"))
         .filter(F.col("rk") <= cap)
     )
 

@@ -44,20 +44,34 @@ def test_kg_pagerank_pinned(spark, kg_sf_dir):
     assert prs == sorted(prs, reverse=True)
 
 
-# --- value-hash goldens (VERDICT r3 item 3) -------------------------
-# Counts alone can't catch a semantics-changing edit to kernel/nlp.py
-# that preserves row counts; these pin the VALUES. The hash is the same
-# order-insensitive xor-fold used by the determinism proof in
-# BASELINE.md: md5 over all columns (sorted by name, cast to string)
-# per row, bit_xor(xxhash64) across rows — stable under any
-# partitioning/shuffle order. Regression tripwire, not an independent
-# oracle: if a kernel change is INTENTIONAL, recompute with
+# --- value-hash goldens (VERDICT r3 item 3; ALL 13 rows-only entries
+# since r5 per VERDICT r4 item 2) ------------------------------------
+# Counts alone can't catch a semantics-changing edit to kernel/nlp.py,
+# kernel/extract.py, or plans/search.py that preserves row counts;
+# these pin the VALUES of every queries() entry without a SQL oracle.
+# The hash is the same order-insensitive xor-fold used by the
+# determinism proof in BASELINE.md: md5 over all columns (sorted by
+# name, cast to string) per row, bit_xor(xxhash64) across rows —
+# stable under any partitioning/shuffle order (verified: 3 identical
+# generator runs). Regression tripwire, not an independent oracle: if
+# a kernel change is INTENTIONAL, recompute with
 # tools/print_kg_value_hashes.py and update the pins.
+# kg_reconcile_incremental's hash EQUALS kg_triples's by design —
+# incremental reconcile must reproduce the full rebuild exactly.
 KG_VALUE_GOLDENS = {
     "kg_triples": (3888, -3336068592721926318),
     "kg_nodes": (986, 3439483732569019467),
     "kg_edges": (3839, 7879059079284252679),
     "kg_pagerank": (20, 8219871388199408271),
+    "kg_chunks": (1149, 4228013792244408945),
+    "kg_mentions": (10313, 7539719206228796811),
+    "kg_search": (10, -4546840856386697571),
+    "kg_hybrid_search": (10, -1537754732062503421),
+    "kg_time_range": (2481, 8323001999387565040),
+    "kg_graph_impact": (485, 434999015061485390),
+    "kg_reconcile_incremental": (3888, -3336068592721926318),
+    "kg_call_chains": (13, -4454629892932413791),
+    "kg_smart_context": (20, -865150099066178475),
 }
 
 

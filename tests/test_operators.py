@@ -567,6 +567,18 @@ def test_canonical_url_rules(spark):
         "https://Ex.com/p?id=2&gclid=abc": "https://ex.com/p?id=2",
         "https://ex.com/?fbclid=zz": "https://ex.com",
         "https://ex.com/CaseKept?Q=V": "https://ex.com/CaseKept?Q=V",
+        # scheme-aware default ports: :443 is NOT default for http,
+        # :80 is NOT default for https — both name real resources
+        "http://ex.com:443/x": "http://ex.com:443/x",
+        "https://ex.com:80/x": "https://ex.com:80/x",
+        # a param whose NAME merely contains a tracker survives intact
+        "https://ex.com/p?xfbclid=1&y=2": "https://ex.com/p?xfbclid=1&y=2",
+        # a tracking-shaped VALUE is not excised out of another param
+        "https://ex.com/p?r=utm_test=1&y=2": "https://ex.com/p?r=utm_test=1&y=2",
+        # leading tracker followed by real params keeps exactly one '?'
+        "https://ex.com/p?utm_a=1&utm_b=2&id=3": "https://ex.com/p?id=3",
+        # every param a tracker -> query gone entirely
+        "https://ex.com/p?utm_a=1&gclid=g": "https://ex.com/p",
     }
     df = spark.createDataFrame([(u,) for u in cases], ["url"])
     got = {r.url: r.c for r in
@@ -638,6 +650,59 @@ def test_call_chains_max_paths_exact_prefix(spark):
         assert got == full[:cap], cap
 
 
+def test_shingle_cache_collision_serves_right_plan(spark):
+    """ADVICE r4: semanticHash is a 32-bit prefilter — a colliding
+    entry must be DETECTED via sameResult and the right table built in
+    a salted slot, never the wrong persisted shingles served."""
+    from code_indexer_spark.operators import dedup
+
+    a = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                              ["doc_id", "text"])
+    b = spark.createDataFrame([(9, "totally different words entirely")],
+                              ["doc_id", "text"])
+    sh_a = dedup.word_shingles_df(a)
+    sh_b = dedup.word_shingles_df(b)
+    base = (spark.sparkContext.applicationId,
+            sh_a._jdf.queryExecution().analyzed().semanticHash())
+    # simulate a hash collision: plant B's plan in A's slot 0
+    planted = sh_b.persist()
+    dedup._SHINGLE_CACHE[base + (0,)] = planted
+    try:
+        got = {r.shingle for r in dedup._cached_shingles(sh_a).collect()}
+        assert got == {"alpha beta gamma", "beta gamma delta"}
+        # the planted entry was not evicted, the right one landed slot 1
+        assert dedup._SHINGLE_CACHE[base + (0,)] is planted
+        assert base + (1,) in dedup._SHINGLE_CACHE
+    finally:
+        for k in (base + (0,), base + (1,)):
+            df = dedup._SHINGLE_CACHE.pop(k, None)
+            if df is not None:
+                df.unpersist()
+
+
+def test_call_chains_releases_superseded_checkpoints(spark):
+    """VERDICT r4 item 7: a deep traversal must leave at most ONE
+    pinned round table (the final done checkpoint) — superseded ext /
+    done rounds are freed deterministically via free_local_checkpoint,
+    and the result is still correct AFTER the frees (nothing the output
+    needs was unpersisted)."""
+    from code_indexer_spark.operators.graph import call_chains
+
+    def n_pinned():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # 5-hop chain with side branches -> every round has a live frontier
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+         ("b", "x"), ("c", "y"), ("x", "c"), ("y", "e")],
+        ["src", "dst"])
+    before = n_pinned()
+    rows = [(tuple(r.path), r.depth)
+            for r in call_chains(edges, "a", "f", max_depth=5).collect()]
+    assert (("a", "b", "c", "d", "e", "f"), 6) in rows  # went deep
+    assert n_pinned() - before <= 1
+
+
 def test_bm25_duplicate_query_terms_weighted(spark):
     """Lucene sums per query-term OCCURRENCE: a term given twice must
     contribute exactly twice its single weight."""
@@ -651,6 +716,29 @@ def test_bm25_duplicate_query_terms_weighted(spark):
     double = {r.id: r.score for r in
               bm25_topk(docs, ["apple", "apple"], k=10).collect()}
     assert double[1] == pytest.approx(2 * single[1], abs=2e-6)
+
+
+def test_bm25_precomputed_dl_column_identical(spark):
+    """The at-rest fast path: a precomputed doc-length column must give
+    byte-identical scores/ranks to the tokenize-derived default."""
+    import pyspark.sql.functions as F
+
+    from code_indexer_spark.operators.dedup import tokens_expr
+    from code_indexer_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"),
+         (2, "apple cherry pie and more words here"),
+         (3, "cherry cherry cherry"),
+         (4, "")],
+        ["doc_id", "text"])
+    with_dl = docs.withColumn("dl", F.size(tokens_expr("text")))
+    default = [tuple(r) for r in
+               bm25_topk(docs, ["apple", "cherry"], k=10).collect()]
+    fast = [tuple(r) for r in
+            bm25_topk(with_dl, ["apple", "cherry"], k=10,
+                      dl_col="dl").collect()]
+    assert default == fast
 
 
 def test_domain_cap_deterministic_and_growth_stable(spark):
@@ -676,3 +764,34 @@ def test_domain_cap_deterministic_and_growth_stable(spark):
                   for r in domain_cap(grown, cap=5).collect()}
     old_ids = {i for i, _ in docs}
     assert {(g, k) for g, k in kept_grown if k in old_ids} <= kept
+
+
+def test_domain_cap_skewed_mega_domain_row_identical(spark):
+    """VERDICT r4 item 1: the salted two-phase top-k must be
+    row-identical (keys AND ranks) to the naive single-window plan on a
+    deliberately skewed corpus — one mega-domain with 200x cap rows
+    next to tiny domains (incl. a domain SMALLER than cap and one
+    smaller than salt_buckets), across salt_buckets settings."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from code_indexer_spark.operators.textstats import domain_cap
+
+    rows = ([(i, "megahost.example") for i in range(2000)]
+            + [(10000 + i, "tiny.example") for i in range(3)]
+            + [(20000 + i, "mid.example") for i in range(17)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"]).repartition(7)
+
+    # naive single-window reference (the oracle-SQL form)
+    h = F.md5(F.concat_ws("|", F.col("source"), F.col("doc_id")
+                          .cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    expect = {(r.source, r.doc_id, r.rk) for r in
+              df.select("source", "doc_id",
+                        F.row_number().over(w).alias("rk"))
+              .filter(F.col("rk") <= 10).collect()}
+
+    for buckets in (1, 4, 64, 256):
+        got = {(r.grp, r.key, r.rk) for r in
+               domain_cap(df, cap=10, salt_buckets=buckets).collect()}
+        assert got == expect, f"salt_buckets={buckets}"

@@ -100,6 +100,30 @@ def test_no_unbounded_forced_broadcast(spark, name):
             f"{name}: unsanctioned forced broadcast —\n{bad}")
 
 
+def test_domain_cap_salted_two_phase_plan(spark):
+    """VERDICT r4 item 1: domain_cap's phase-1 window must partition by
+    (grp, salt) — the shape that splits a mega-domain into parallel
+    sort tasks — with the exact grp-only window running AFTER it on the
+    survivor subset. A regression to one grp-partitioned window over
+    the full input would drop the salted exchange and fail here."""
+    import re
+
+    import __spark_entry__ as e
+
+    plan = _formatted_plan(e.queries()["domain_cap"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    # formatted mode renders exchange partitioning on Arguments: lines
+    exchanges = [ln.strip() for ln in plan.splitlines()
+                 if "hashpartitioning" in ln]
+    salted = [ln for ln in exchanges
+              if re.search(r"hashpartitioning\(grp#\d+, salt#\d+", ln)]
+    assert salted, f"phase-1 (grp, salt) exchange missing:\n{exchanges}"
+    # and the exact grp-only window still exists downstream of it
+    grp_only = [ln for ln in exchanges
+                if re.search(r"hashpartitioning\(grp#\d+, \d+\)", ln)]
+    assert grp_only, f"phase-2 grp exchange missing:\n{exchanges}"
+
+
 def test_point_get_pushes_in_filter(spark):
     import __spark_entry__ as e
 

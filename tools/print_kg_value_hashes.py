@@ -23,7 +23,13 @@ def main():
 
     spark = get_spark("kg-value-hashes", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
-    for name in ["kg_triples", "kg_nodes", "kg_edges", "kg_pagerank"]:
+    # every rows-only queries() entry (the 13 kg_* Arrow-UDF paths) —
+    # keep in sync with tests/test_kg_graph.py::KG_VALUE_GOLDENS
+    for name in ["kg_triples", "kg_nodes", "kg_edges", "kg_pagerank",
+                 "kg_chunks", "kg_mentions", "kg_search",
+                 "kg_hybrid_search", "kg_time_range", "kg_graph_impact",
+                 "kg_reconcile_incremental", "kg_call_chains",
+                 "kg_smart_context"]:
         df = e.queries()[name](spark, sf_dir)
         cols = sorted(df.columns)
         row_h = F.md5(F.concat_ws(
