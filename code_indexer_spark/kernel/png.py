@@ -46,6 +46,35 @@ def sniff_format(content: bytes) -> str | None:
     return None
 
 
+def parse_png_header(content: bytes) -> dict:
+    """IHDR-only geometry read (the PNG twin of jpeg.parse_jpeg_header
+    — O(33 bytes) regardless of image size, for validation stages that
+    must not pay a full decode)."""
+    c = content or b""
+    if not c.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG (bad magic)")
+    for ctype, body in _chunks(c):
+        if ctype != b"IHDR":
+            raise ValueError("first chunk is not IHDR")
+        if len(body) != 13:
+            raise ValueError("bad IHDR length")
+        width, height, bit_depth, color_type, _comp, _filt, interlace = \
+            struct.unpack(">IIBBBBB", body)
+        if width == 0 or height == 0:
+            raise ValueError("zero dimension")
+        if color_type not in _CHANNELS:
+            raise ValueError(f"bad color type {color_type}")
+        return {
+            "width": width,
+            "height": height,
+            # palette type 3 resolves to RGB on decode
+            "components": 3 if color_type == 3 else _CHANNELS[color_type],
+            "bit_depth": bit_depth,
+            "progressive": interlace != 0,
+        }
+    raise ValueError("missing IHDR")
+
+
 def _chunks(data: bytes):
     pos = 8
     while pos + 8 <= len(data):

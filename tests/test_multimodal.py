@@ -245,3 +245,156 @@ def test_corrupt_png_survives_as_error_row(spark):
     assert res["good.png"].decode_error is None
     assert res["bad.png"].content is None
     assert res["bad.png"].decode_error
+
+
+# --- header-only geometry parsers (VERDICT r4 item 6) ----------------
+
+def test_jpeg_sof_header_parse():
+    """The marker walk must find SOFn past arbitrary leading segments
+    (a fat Exif APP1 is the common real shape) and report exact
+    geometry, baseline vs progressive, and component count."""
+    import struct
+
+    from code_indexer_spark.kernel.jpeg import (
+        make_jpeg_fixture, parse_jpeg_header,
+    )
+
+    hdr = parse_jpeg_header(make_jpeg_fixture(640, 480))
+    assert hdr == {"width": 640, "height": 480, "components": 3,
+                   "bit_depth": 8, "progressive": False}
+
+    # progressive SOF2, grayscale, behind a 4 KB APP1 blob + an RST
+    # standalone marker (no length field) the walk must step over
+    exif = (b"\xff\xe1" + struct.pack(">H", 4098) + b"Exif\x00\x00"
+            + b"\x00" * 4090)
+    fat = make_jpeg_fixture(8191, 1, components=1, progressive=True,
+                            leading_segments=exif + b"\xff\xd0")
+    hdr = parse_jpeg_header(fat)
+    assert (hdr["width"], hdr["height"]) == (8191, 1)
+    assert hdr["components"] == 1 and hdr["progressive"] is True
+
+
+def test_jpeg_header_corrupt_shapes_raise():
+    import struct
+
+    import pytest
+
+    from code_indexer_spark.kernel.jpeg import (
+        make_jpeg_fixture, parse_jpeg_header,
+    )
+
+    good = make_jpeg_fixture(16, 16)
+    for bad in (
+        b"",                                # empty
+        b"\x89PNG\r\n\x1a\n",               # wrong magic
+        good[:8],                           # truncated mid-segment
+        good[:len(good) - 12],              # truncated before SOF
+        b"\xff\xd8\xff\xe0\x00\x04ab\x00garbage",  # sync lost
+        # SOS with no prior SOF
+        b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00",
+        # EOI straight after SOI: no frame header
+        b"\xff\xd8\xff\xd9",
+        make_jpeg_fixture(0, 16),           # zero width
+        make_jpeg_fixture(16, 0),           # DNL-deferred height
+    ):
+        with pytest.raises(ValueError):
+            parse_jpeg_header(bad)
+
+
+def test_gif_and_webp_header_parse():
+    import struct
+
+    import pytest
+
+    from code_indexer_spark.kernel.jpeg import (
+        parse_gif_header, parse_webp_header,
+    )
+
+    gif = (b"GIF89a" + struct.pack("<HH", 320, 200)
+           + b"\x00\x00\x00")  # packed/bg/aspect
+    assert parse_gif_header(gif) == {
+        "width": 320, "height": 200, "components": 3, "bit_depth": 8,
+        "progressive": False}
+    with pytest.raises(ValueError):
+        parse_gif_header(b"GIF89a\x01\x00")  # truncated descriptor
+
+    def riff(fourcc: bytes, payload: bytes) -> bytes:
+        chunk = fourcc + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    # VP8X: flags byte (alpha bit 0x10) + 3 reserved + 24-bit LE
+    # canvas-minus-one pair
+    vp8x = riff(b"VP8X", bytes([0x10, 0, 0, 0])
+                + (1919).to_bytes(3, "little")
+                + (1079).to_bytes(3, "little"))
+    hdr = parse_webp_header(vp8x)
+    assert (hdr["width"], hdr["height"], hdr["components"]) == (1920, 1080, 4)
+
+    # VP8 lossy: 3-byte frame tag, 9D 01 2A start code, 14-bit dims
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 550, 368))
+    hdr = parse_webp_header(vp8)
+    assert (hdr["width"], hdr["height"], hdr["components"]) == (550, 368, 3)
+
+    # VP8L: 0x2F signature then packed 14-bit minus-one dims + alpha bit
+    bits = (99 & 0x3FFF) | ((74 & 0x3FFF) << 14) | (1 << 28)
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    hdr = parse_webp_header(vp8l)
+    assert (hdr["width"], hdr["height"], hdr["components"]) == (100, 75, 4)
+
+    for bad in (b"RIFF", b"RIFFxxxxWAVE" + b"\x00" * 8,
+                riff(b"VP8 ", b"\x00\x00\x00BAD" + b"\x00" * 4),
+                riff(b"ANMF", b"\x00" * 16)):
+        with pytest.raises(ValueError):
+            parse_webp_header(bad)
+
+
+def test_png_header_matches_encoder():
+    import numpy as np
+    import pytest
+
+    from code_indexer_spark.kernel.png import encode_png, parse_png_header
+
+    png = encode_png(np.zeros((7, 5, 4), dtype=np.uint8))
+    assert parse_png_header(png) == {
+        "width": 5, "height": 7, "components": 4, "bit_depth": 8,
+        "progressive": False}
+    with pytest.raises(ValueError):
+        parse_png_header(png[:16])  # truncated IHDR
+
+
+def test_image_dims_stage_pinned(spark):
+    """VERDICT r4 item 6 'done' bar: a fixture JPEG validates with
+    pinned dims through the Spark stage; corrupt JPEG bytes become a
+    decode_error row. Routing is by magic sniff (the JPEG is labeled
+    fmt='png' on purpose), mixed formats in one batch."""
+    import struct
+
+    import numpy as np
+
+    from code_indexer_spark.kernel.jpeg import make_jpeg_fixture
+    from code_indexer_spark.kernel.png import encode_png
+    from code_indexer_spark.operators.multimodal import image_dims_stage
+
+    jpg = make_jpeg_fixture(800, 600)
+    bad_jpg = jpg[:12]  # truncated before SOF
+    png = encode_png(np.zeros((3, 9, 1), dtype=np.uint8))
+    gif = b"GIF87a" + struct.pack("<HH", 12, 34) + b"\x00\x00\x00"
+    rows = [("u", "a.jpg", "image", bytearray(jpg), len(jpg), "png"),
+            ("u", "bad.jpg", "image", bytearray(bad_jpg), 12, "jpg"),
+            ("u", "b.png", "image", bytearray(png), len(png), "png"),
+            ("u", "c.gif", "image", bytearray(gif), len(gif), "gif"),
+            ("u", "v.mp4", "video", bytearray(b"x"), 1, "mp4")]
+    assets = spark.createDataFrame(
+        rows, "url string, asset_path string, kind string, "
+        "content binary, content_len long, fmt string")
+    got = {r.asset_path: r for r in image_dims_stage(assets).collect()}
+    assert set(got) == {"a.jpg", "bad.jpg", "b.png", "c.gif"}  # no video
+    a = got["a.jpg"]
+    assert (a.width, a.height, a.components, a.bit_depth,
+            a.progressive, a.decode_error) == (800, 600, 3, 8, False, None)
+    assert (got["b.png"].width, got["b.png"].height,
+            got["b.png"].components) == (9, 3, 1)
+    assert (got["c.gif"].width, got["c.gif"].height) == (12, 34)
+    bad = got["bad.jpg"]
+    assert bad.width is None and bad.decode_error.startswith("ValueError")
