@@ -36,7 +36,8 @@ BANDS = 8  # rows_per_band = 2
 _SHINGLE_CACHE: dict[tuple[str, int], DataFrame] = {}
 
 
-def _cached_shingles(sh: DataFrame) -> DataFrame:
+def _cached_plan(df: DataFrame,
+                 registry: dict[tuple, DataFrame]) -> DataFrame:
     from pyspark import StorageLevel
 
     from ..util import cached_persist
@@ -44,25 +45,29 @@ def _cached_shingles(sh: DataFrame) -> DataFrame:
     # semanticHash is only a 32-bit prefilter — Spark itself always
     # pairs it with sameResult() — so a hit must CONFIRM the stored
     # plan really is this plan before serving it (ADVICE r4: a
-    # colliding hash must never serve the wrong persisted shingle
-    # table). Distinct same-hash plans get salted key slots; after 16
+    # colliding hash must never serve the wrong persisted table).
+    # Distinct same-hash plans get salted key slots; after 16
     # colliding plans (astronomically unlikely) we skip caching rather
     # than evict someone else's live entry.
-    analyzed = sh._jdf.queryExecution().analyzed()
-    base = (sh.sparkSession.sparkContext.applicationId,
+    analyzed = df._jdf.queryExecution().analyzed()
+    base = (df.sparkSession.sparkContext.applicationId,
             analyzed.semanticHash())
     for slot in range(16):
         key = base + (slot,)
-        hit = _SHINGLE_CACHE.get(key)
+        hit = registry.get(key)
         if hit is not None and not (
                 hit._jdf.queryExecution().analyzed().sameResult(analyzed)):
             continue
         # lazy + MEMORY_AND_DISK: at the 100 TB shape this spills
         # instead of evicting-and-recomputing
         return cached_persist(
-            _SHINGLE_CACHE, key, lambda: sh, eager=False,
+            registry, key, lambda: df, eager=False,
             storage_level=StorageLevel.MEMORY_AND_DISK)
-    return sh
+    return df
+
+
+def _cached_shingles(sh: DataFrame) -> DataFrame:
+    return _cached_plan(sh, _SHINGLE_CACHE)
 
 
 def exact_dupes(docs: DataFrame, id_col: str = "doc_id",
@@ -271,6 +276,82 @@ def simhash_bits_long(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.sum("vote").alias("s"))
         .select("id", "bit_pos",
                 F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"))
+    )
+
+
+# persisted simhash-bits registry (same discipline as _SHINGLE_CACHE):
+# simhash_pairs reads its bits table from three subtrees (band keys +
+# both rescore sides), so an uncached plan would tokenize the corpus
+# three times.
+_BITS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 32,
+                  bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate PAIRS: banded Hamming-LSH blocking over
+    the long-form signature, then exact Hamming rescore — the simhash
+    counterpart of minhash_lsh_pairs (the reference's near-dup story is
+    MinHash-only; simhash banding is the standard alternative for
+    token-order-sensitive near-dup, e.g. the Google WWW'07 crawl dedup).
+
+    Pigeonhole guarantee (requires ``max_hamming < bands``): a pair
+    within ``max_hamming`` differs in at most ``bands - 1`` of the
+    ``bands`` disjoint bit groups, so at least one band matches exactly
+    and the pair always lands in a candidate bucket — blocking loses
+    nothing; the rescore then removes false candidates, so the output
+    is EXACTLY all pairs with hamming <= max_hamming.
+
+    Scale shape: the bit-vote aggregation is one groupBy on
+    (id, bit_pos); band keys are a second groupBy; candidates come
+    from a bucket self-join on (band, key) — never an all-pairs join —
+    and the rescore joins the slim (id, bit_pos, bit) table twice,
+    ``bits`` rows per candidate side. The bits table is
+    registry-persisted (three consumers). The long (id, bit_pos, bit)
+    form instead of a packed 64-bit word is the oracle-portability
+    trade (parity-of-md5-hex-char is computable on both engines);
+    a production variant would pack bits into a long and block on
+    shifted words, same plan shape.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            "max_hamming must be < bands (pigeonhole guarantee: a pair "
+            f"differing in {max_hamming} bits can miss every one of "
+            f"{bands} bands otherwise)")
+    r = bits // bands
+    b = _cached_plan(
+        simhash_bits_long(docs, id_col, text_col, bits), _BITS_CACHE)
+    # per-(id, band) integer key: order-free weighted bit sum (2^i is
+    # exact in doubles for i < r <= 32)
+    keyed = (
+        b.withColumn("band", ((F.col("bit_pos") - 1) / r).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.sum(F.col("bit")
+                   * F.pow(F.lit(2.0), (F.col("bit_pos") - 1) % r))
+             .cast("long").alias("bkey"))
+    )
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bkey") == F.col("b.bkey"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    bits_a = b.select(F.col("id").alias("id_a"), "bit_pos",
+                      F.col("bit").alias("bit_a"))
+    bits_b = b.select(F.col("id").alias("id_b"), "bit_pos",
+                      F.col("bit").alias("bit_b"))
+    return (
+        cand.join(bits_a, "id_a")
+        .join(bits_b, ["id_b", "bit_pos"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.abs(F.col("bit_a") - F.col("bit_b")))
+             .cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -795,3 +795,45 @@ def test_domain_cap_skewed_mega_domain_row_identical(spark):
         got = {(r.grp, r.key, r.rk) for r in
                domain_cap(df, cap=10, salt_buckets=buckets).collect()}
         assert got == expect, f"salt_buckets={buckets}"
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark):
+    """Banded blocking + rescore must equal the brute-force all-pairs
+    Hamming filter exactly (the pigeonhole guarantee, max_hamming <
+    bands), including hamming-0 exact dupes; parameter misuse raises."""
+    import itertools
+
+    import pytest
+
+    from code_indexer_spark.operators.dedup import (
+        simhash_bits_long, simhash_pairs,
+    )
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+             "completely unrelated words about spark shuffles",
+             "another entirely different document body here",
+             "the quick brown fox leaps over the lazy dog"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 ["doc_id", "text"])
+
+    sig = {}
+    for r in simhash_bits_long(docs, bits=32).collect():
+        sig.setdefault(r.id, {})[r.bit_pos] = r.bit
+    brute = {}
+    for a, b in itertools.combinations(sorted(sig), 2):
+        ham = sum(sig[a][p] != sig[b][p] for p in range(1, 33))
+        if ham <= 3:
+            brute[(a, b)] = ham
+
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_pairs(docs, bits=32, bands=4,
+                                  max_hamming=3).collect()}
+    assert got == brute
+    assert (0, 2) in got and got[(0, 2)] == 0  # exact dup found
+
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, bits=32, bands=5)       # 32 % 5 != 0
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, bands=4, max_hamming=4)  # pigeonhole broken
