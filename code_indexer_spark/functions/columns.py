@@ -117,11 +117,17 @@ def canonical_url(url: Column | str) -> Column:
        ``http://h:443/x`` names a real non-default-port resource and
        must NOT collapse onto ``http://h/x``;
     4. tracking query params removed (``utm_*``, ``fbclid``,
-       ``gclid``), each match ANCHORED on its ``?``/``&`` separator so
-       a param merely *containing* a tracking name (``?xfbclid=1``) or
-       a tracking-shaped VALUE (``?r=utm_x=1&y=2``) is never touched;
-       separator tidy-up so ``?a&`` shapes cannot survive;
-    5. trailing path ``/`` dropped (before the query string too).
+       ``gclid``) — applied to the QUERY STRING ONLY (everything from
+       the first ``?``; a later literal ``?`` is part of a value), and
+       each match anchored on its separator: ``&trk=v`` anywhere, or
+       ``^?trk=v`` at the very start of the query. So a param merely
+       *containing* a tracking name (``?xfbclid=1``), a tracking-shaped
+       VALUE (``?r=utm_x=1&y=2``), and an embedded ``?utm_x=`` inside a
+       value (``?x=?utm_b=2&y=3`` — ``?`` is legal in query values) are
+       never touched, and a path segment containing ``&utm_`` is out of
+       scope entirely; separator tidy-up so ``?a&`` shapes cannot
+       survive;
+    5. trailing path ``/`` dropped.
 
     Regex-only by design (portable to the SQL oracle verbatim; no
     backreferences — Spark `$1` vs DuckDB `\\1` syntax differs), which
@@ -129,9 +135,12 @@ def canonical_url(url: Column | str) -> Column:
     single backreferencing rewrite: (a) drop every ``&trk=v`` (the
     separator is consumed with the param, so following params keep
     their ``&``); after (a) at most the FIRST param can still be a
-    tracker, so (b) rewrite ``?trk=v&`` -> ``?`` and (c) drop a lone
-    ``?trk=v`` at end-of-string. A full RFC parser would additionally
-    sort params and decode %-escapes.
+    tracker, so (b) rewrite ``^?trk=v&`` -> ``?`` and (c) drop a lone
+    ``^?trk=v$``. The ``^`` anchors on (b)/(c) also make them
+    single-match by construction — identical semantics on engines that
+    differ in replace-all defaults (Spark replaces all, DuckDB only
+    with 'g'). A full RFC parser would additionally sort params and
+    decode %-escapes.
     """
     trk = r"(utm_[a-z]+|fbclid|gclid)"
     c = F.col(url) if isinstance(url, str) else url
@@ -146,9 +155,10 @@ def canonical_url(url: Column | str) -> Column:
               F.regexp_replace(prefix, r":443$", ""))
         .otherwise(prefix)
     )
-    rest = F.regexp_replace(rest, "&" + trk + r"=[^&#]*", "")       # 4a
-    rest = F.regexp_replace(rest, r"\?" + trk + r"=[^&#]*&", "?")   # 4b
-    rest = F.regexp_replace(rest, r"\?" + trk + r"=[^&#]*$", "")    # 4c
-    rest = F.regexp_replace(rest, r"/\?", "?")            # 5 (pre-query)
-    rest = F.regexp_replace(rest, r"/$", "")              # 5 (terminal)
-    return F.concat(prefix, rest)
+    path = F.regexp_extract(rest, r"^[^?]*", 0)
+    query = F.substring(rest, F.length(path) + 1, 1 << 30)
+    query = F.regexp_replace(query, "&" + trk + r"=[^&#]*", "")      # 4a
+    query = F.regexp_replace(query, r"^\?" + trk + r"=[^&#]*&", "?")  # 4b
+    query = F.regexp_replace(query, r"^\?" + trk + r"=[^&#]*$", "")   # 4c
+    path = F.regexp_replace(path, r"/$", "")              # 5
+    return F.concat(prefix, path, query)

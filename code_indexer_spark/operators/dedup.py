@@ -259,18 +259,31 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
 def simhash_bits_long(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", bits: int = 16) -> DataFrame:
     """Long-form simhash: (id, bit_pos, bit) with
-    bit = 1 iff sum over tokens of (2*(ascii(md5_hex[bit_pos]) % 2) - 1) > 0
-    — portable parity-of-hex-char scheme (kernel.hashes.simhash_bits)."""
+    bit = 1 iff sum over tokens of (2*(ascii(hex[pos]) % 2) - 1) > 0
+    — portable parity-of-hex-char scheme (kernel.hashes.simhash_bits).
+    Positions 1-32 read md5(tok); 33-64 read the independent seeded
+    md5(tok || '|2') (an md5 hex string has only 32 chars), so up to
+    64 bits, all engine-portable."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in 1..64")
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("tok")
     ).withColumn("h", F.md5("tok"))
+    if bits > 32:
+        toks = toks.withColumn(
+            "h2", F.md5(F.concat(F.col("tok"), F.lit("|2"))))
     pos = F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("bit_pos")
+    hex_char = F.substring(F.col("h"), F.col("bit_pos"), 1) if bits <= 32 \
+        else F.when(F.col("bit_pos") <= 32,
+                    F.substring(F.col("h"), F.col("bit_pos"), 1)) \
+        .otherwise(F.substring(F.col("h2"), F.col("bit_pos") - 32, 1))
+    hash_cols = ["id", "h"] + (["h2"] if bits > 32 else [])
     return (
-        toks.select("id", "h", pos)
+        toks.select(*hash_cols, pos)
         .withColumn(
             "vote",
-            F.when(F.ascii(F.substring(F.col("h"), F.col("bit_pos"), 1)) % 2
-                   == 1, F.lit(1)).otherwise(F.lit(-1)),
+            F.when(F.ascii(hex_char) % 2 == 1, F.lit(1))
+            .otherwise(F.lit(-1)),
         )
         .groupBy("id", "bit_pos")
         .agg(F.sum("vote").alias("s"))
@@ -287,7 +300,7 @@ _BITS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", bits: int = 32,
+                  text_col: str = "text", bits: int = 64,
                   bands: int = 4, max_hamming: int = 3) -> DataFrame:
     """SimHash near-duplicate PAIRS: banded Hamming-LSH blocking over
     the long-form signature, then exact Hamming rescore — the simhash
@@ -312,6 +325,16 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     trade (parity-of-md5-hex-char is computable on both engines);
     a production variant would pack bits into a long and block on
     shifted words, same plan shape.
+
+    Band width is the load-bearing scale knob: uniform random
+    signatures put ~n/2^r docs in each of a band's 2^r buckets, so
+    candidate volume is ~bands * n^2 / 2^(r+1) — with narrow bands the
+    bucket self-join degenerates toward all-pairs as the corpus grows
+    (and natural-text simhash bits are correlated, so real buckets
+    skew hotter than uniform). The 64-bit/4-band default gives 16-bit
+    bands (65,536 buckets per band, the packed-word blocking width);
+    size r >= ~log2(n) at deployment. Narrower configurations remain
+    available for small corpora and tests.
     """
     if bits % bands != 0:
         raise ValueError("bits must divide evenly into bands")

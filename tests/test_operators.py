@@ -579,6 +579,19 @@ def test_canonical_url_rules(spark):
         "https://ex.com/p?utm_a=1&utm_b=2&id=3": "https://ex.com/p?id=3",
         # every param a tracker -> query gone entirely
         "https://ex.com/p?utm_a=1&gclid=g": "https://ex.com/p",
+        # literal '?' inside a VALUE is query bytes, not a query start:
+        # an embedded '?utm_b=2' must never be excised
+        "https://ex.com/p?a=1&r=?utm_b=2&y=3":
+            "https://ex.com/p?a=1&r=?utm_b=2&y=3",
+        # leading tracker stripped even with an embedded '?trk' later
+        # (the ^-anchored pass matches once, identically on engines
+        # that differ in replace-all defaults)
+        "https://ex.com/p?utm_a=1&x=?utm_b=2&y=3":
+            "https://ex.com/p?x=?utm_b=2&y=3",
+        # trailing value ending in '?utm_x=1' is not a lone tracker
+        "https://ex.com/p?id=a?utm_x=1": "https://ex.com/p?id=a?utm_x=1",
+        # '&utm_' inside the PATH is out of scope for param stripping
+        "https://ex.com/a&utm_b=c/d?id=1": "https://ex.com/a&utm_b=c/d?id=1",
     }
     df = spark.createDataFrame([(u,) for u in cases], ["url"])
     got = {r.url: r.c for r in
@@ -833,7 +846,17 @@ def test_simhash_pairs_exact_vs_bruteforce(spark):
     assert got == brute
     assert (0, 2) in got and got[(0, 2)] == 0  # exact dup found
 
+    # the 64-bit default (16-bit bands — the deployment band width;
+    # positions 33-64 come from the seeded second hash) still finds the
+    # exact dup at hamming 0 and returns a subset of the 32-bit answer
+    # space restricted to truly-near pairs
+    got64 = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_pairs(docs).collect()}
+    assert got64[(0, 2)] == 0
+
     with pytest.raises(ValueError):
         simhash_pairs(docs, bits=32, bands=5)       # 32 % 5 != 0
     with pytest.raises(ValueError):
         simhash_pairs(docs, bands=4, max_hamming=4)  # pigeonhole broken
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, bits=128, bands=4)       # > 2 hex digests
