@@ -363,6 +363,95 @@ def domain_cap(docs: DataFrame, group_col: str = "source",
     )
 
 
+def bigram_buckets(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   bucket_hex: int = 3):
+    """(id, b): one row per consecutive token pair, b = the first
+    ``bucket_hex`` hex chars of md5('w1 w2') — 16^bucket_hex string
+    buckets. Array slice/zip_with (no per-doc window, no join): bigram
+    extraction stays inside the row, so it parallelizes like any
+    column expression."""
+    l = tokens_expr(text_col)
+    n = F.greatest(F.size(l) - 1, F.lit(0))
+    bg = F.zip_with(F.slice(l, 1, n), F.slice(l, 2, n),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+    return docs.select(F.col(id_col).alias("id"),
+                       F.explode(bg).alias("g")) \
+        .select("id", F.substring(F.md5("g"), 1, bucket_hex).alias("b"))
+
+
+# persisted raw-bigram registry (the _SHINGLE_CACHE discipline): the
+# raw side of dsir_logweights is read by three consumers (per-bucket
+# counts, the corpus total, and the final per-doc score join).
+_BIGRAM_CACHE: dict[tuple, DataFrame] = {}
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    bucket_hex: int = 3) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al.
+    2023, DSIR): log importance weight of each RAW document under a
+    hashed-bigram bag-of-ngrams model of the TARGET corpus —
+    log w(d) = sum over d's bigrams g of
+    log p_target(bucket(g)) / p_raw(bucket(g)), add-1 smoothed over
+    B = 16^bucket_hex buckets. The standard cheap proxy for "which
+    crawl documents look like the high-quality target" when curating
+    a pretraining mix; resample raw docs ~ softmax of these weights.
+
+    Cross-engine determinism discipline: all counts stay integer; each
+    bucket's log-ratio is rounded ONCE to integer micro-nats
+    (floor(ln(exact-rational) * 1e6 + 0.5) — int64 products are exact
+    and < 2^53 before the double divide), and the per-doc score is an
+    exact integer SUM of micro-nats divided by 1e6 at the end — so
+    shuffle order can't perturb the result and a last-ulp libm
+    difference is confined to a bucket's 1e-6 rounding boundary (the
+    tfidf/bm25 discipline).
+
+    Scale shape: two groupBys on the bucket key (≤ B distinct — tiny),
+    two 1-row total aggregates (bounded broadcast by construction),
+    and one join of the raw bigram stream against the ≤ B-row ratio
+    table (AQE broadcasts it); the per-doc sum is one groupBy on id.
+    No window, no all-pairs, nothing driver-side.
+    """
+    B = 16 ** bucket_hex
+    from .dedup import _cached_plan
+
+    raw_bg = _cached_plan(
+        bigram_buckets(raw, id_col, text_col, bucket_hex), _BIGRAM_CACHE)
+    tgt_bg = bigram_buckets(target, id_col, text_col, bucket_hex)
+
+    tgt_counts = tgt_bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct"))
+    raw_counts = raw_bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"))
+    n_t = tgt_bg.agg(F.count(F.lit(1)).alias("nt"))
+    n_r = raw_bg.agg(F.count(F.lit(1)).alias("nr"))
+
+    ratio = (
+        raw_counts
+        .join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(n_t))  # 1 row — bounded by construction
+        .crossJoin(F.broadcast(n_r))  # 1 row — bounded by construction
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                     * (F.col("nr") + B)).cast("double")
+                    / ((F.col("cr") + 1)
+                       * (F.col("nt") + B)).cast("double"))
+                * 1e6 + 0.5).cast("long").alias("lr_micro"),
+        )
+    )
+    return (
+        raw_bg.join(ratio, "b")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             (F.sum("lr_micro").cast("double") / 1e6).alias("logw"))
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def deterministic_sample(df: DataFrame, key_col: str,
                          fraction: float) -> DataFrame:
     """Content-keyed Bernoulli sample: keep rows where the first 8 hex

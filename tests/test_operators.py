@@ -860,3 +860,47 @@ def test_simhash_pairs_exact_vs_bruteforce(spark):
         simhash_pairs(docs, bands=4, max_hamming=4)  # pigeonhole broken
     with pytest.raises(ValueError):
         simhash_pairs(docs, bits=128, bands=4)       # > 2 hex digests
+
+
+def test_dsir_logweights_orders_by_target_similarity(spark):
+    """Target-like raw docs must score above off-target ones, and the
+    micro-nat arithmetic must be reproducible from first principles
+    (exact integer counts -> one rounded ln per bucket -> exact sum)."""
+    import math
+
+    from code_indexer_spark.operators.textstats import dsir_logweights
+
+    target = spark.createDataFrame(
+        [(100 + i, "apple banana cherry date") for i in range(5)],
+        ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(1, "apple banana cherry date"),        # on-distribution
+         (2, "zebra xylophone quartz vortex"),   # off-distribution
+         (3, "apple banana zebra xylophone")],   # mixed
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in dsir_logweights(raw, target).collect()}
+    assert set(got) == {1, 2, 3}
+    assert all(got[i].n_bigrams == 3 for i in got)
+    assert got[1].logw > got[3].logw > got[2].logw
+
+    # first-principles check for doc 1: its 3 bigrams each appear 5x
+    # in the 15-bigram target and 1x (docs 1) + 0/1x (doc 3 shares
+    # 'apple banana') in the 9-bigram raw pool
+    import hashlib
+    B = 4096
+    tgt_bg = ["apple banana", "banana cherry", "cherry date"] * 5
+    raw_bg = (["apple banana", "banana cherry", "cherry date"]
+              + ["zebra xylophone", "xylophone quartz", "quartz vortex"]
+              + ["apple banana", "banana zebra", "zebra xylophone"])
+    bucket = lambda g: hashlib.md5(g.encode()).hexdigest()[:3]
+    tc, rc = {}, {}
+    for g in tgt_bg:
+        tc[bucket(g)] = tc.get(bucket(g), 0) + 1
+    for g in raw_bg:
+        rc[bucket(g)] = rc.get(bucket(g), 0) + 1
+    expect = sum(
+        math.floor(math.log((tc.get(bucket(g), 0) + 1) * (len(raw_bg) + B)
+                            / ((rc[bucket(g)] + 1) * (len(tgt_bg) + B)))
+                   * 1e6 + 0.5)
+        for g in ["apple banana", "banana cherry", "cherry date"]) / 1e6
+    assert got[1].logw == expect
