@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "decontaminate",
     "url_dupes",
     "domain_cap",
+    # training-data / multimodal ops (round 5)
+    "simhash_pairs",
+    "dsir_weights",
+    "image_dims",
     "corpus_mix",
     "scrub_pii",
     "pagerank",

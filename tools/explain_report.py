@@ -39,6 +39,9 @@ REPORT_QUERIES = [
     "decontaminate",        # test-shingle join, no forced broadcast
     "tfidf_top_terms",      # plain shuffle join on the vocabulary df
     "url_dupes",            # narrow regex math + one groupBy
+    "simhash_pairs",        # banded Hamming bucket join + exact rescore
+    "dsir_weights",         # bucket-count joins, 1-row total broadcasts
+    "domain_cap",           # salted two-phase per-domain top-k
 ]
 
 
