@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     # training-data / multimodal ops (round 5)
     "simhash_pairs",
     "dsir_weights",
+    "cooccur_pmi",
     "image_dims",
     "corpus_mix",
     "scrub_pii",

@@ -36,34 +36,9 @@ BANDS = 8  # rows_per_band = 2
 _SHINGLE_CACHE: dict[tuple[str, int], DataFrame] = {}
 
 
-def _cached_plan(df: DataFrame,
-                 registry: dict[tuple, DataFrame]) -> DataFrame:
-    from pyspark import StorageLevel
-
-    from ..util import cached_persist
-
-    # semanticHash is only a 32-bit prefilter — Spark itself always
-    # pairs it with sameResult() — so a hit must CONFIRM the stored
-    # plan really is this plan before serving it (ADVICE r4: a
-    # colliding hash must never serve the wrong persisted table).
-    # Distinct same-hash plans get salted key slots; after 16
-    # colliding plans (astronomically unlikely) we skip caching rather
-    # than evict someone else's live entry.
-    analyzed = df._jdf.queryExecution().analyzed()
-    base = (df.sparkSession.sparkContext.applicationId,
-            analyzed.semanticHash())
-    for slot in range(16):
-        key = base + (slot,)
-        hit = registry.get(key)
-        if hit is not None and not (
-                hit._jdf.queryExecution().analyzed().sameResult(analyzed)):
-            continue
-        # lazy + MEMORY_AND_DISK: at the 100 TB shape this spills
-        # instead of evicting-and-recomputing
-        return cached_persist(
-            registry, key, lambda: df, eager=False,
-            storage_level=StorageLevel.MEMORY_AND_DISK)
-    return df
+# the generic confirm-on-hit plan cache lives in util.cached_plan;
+# kept importable here for its historical private name
+from ..util import cached_plan as _cached_plan  # noqa: E402
 
 
 def _cached_shingles(sh: DataFrame) -> DataFrame:

@@ -400,12 +400,23 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
 
     Cross-engine determinism discipline: all counts stay integer; each
     bucket's log-ratio is rounded ONCE to integer micro-nats
-    (floor(ln(exact-rational) * 1e6 + 0.5) — int64 products are exact
-    and < 2^53 before the double divide), and the per-doc score is an
-    exact integer SUM of micro-nats divided by 1e6 at the end — so
-    shuffle order can't perturb the result and a last-ulp libm
-    difference is confined to a bucket's 1e-6 rounding boundary (the
-    tfidf/bm25 discipline).
+    (floor(ln(ratio) * 1e6 + 0.5)), and the per-doc score is an exact
+    integer SUM of micro-nats divided by 1e6 at the end — so shuffle
+    order can't perturb the result and a last-ulp libm difference is
+    confined to a bucket's 1e-6 rounding boundary (the tfidf/bm25
+    discipline). Each count factor is cast to double BEFORE the
+    multiply: an int64 product (cr+1)*(nt+B) overflows long once the
+    corpora pass ~3e9 bigrams each (ANSI mode would kill the job;
+    non-ANSI would silently NULL the log), while the IEEE double
+    product is deterministic across engines and its worst-case 1-ulp
+    (~1e-16 relative) input error is 10 orders of magnitude inside the
+    1e-6 micro-nat rounding granularity.
+
+    Raw documents with fewer than two tokens emit no bigrams; they
+    still get their natural logw = 0 (empty-sum) row via a left join
+    back to the raw id set, so a downstream resampler joining on
+    ``id_col`` never silently drops short documents from the mix.
+    ``id_col`` must be unique in ``raw`` (it is the join key).
 
     Scale shape: two groupBys on the bucket key (≤ B distinct — tiny),
     two 1-row total aggregates (bounded broadcast by construction),
@@ -437,18 +448,27 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
             F.floor(
                 F.log(
                     ((F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                     * (F.col("nr") + B)).cast("double")
-                    / ((F.col("cr") + 1)
-                       * (F.col("nt") + B)).cast("double"))
+                     .cast("double")
+                     * (F.col("nr") + B).cast("double"))
+                    / ((F.col("cr") + 1).cast("double")
+                       * (F.col("nt") + B).cast("double")))
                 * 1e6 + 0.5).cast("long").alias("lr_micro"),
         )
     )
-    return (
+    scored = (
         raw_bg.join(ratio, "b")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             (F.sum("lr_micro").cast("double") / 1e6).alias("logw"))
-        .withColumnRenamed("id", id_col)
+             F.sum("lr_micro").alias("micro"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            (F.coalesce(F.col("micro"), F.lit(0)).cast("double") / 1e6)
+            .alias("logw"))
     )
 
 
@@ -588,3 +608,70 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
             .alias("top_token_frac"),
         )
     )
+
+
+def cooccur_pmi(docs: DataFrame, text_col: str = "text",
+                window: int = 3, min_count: int = 5,
+                k: int = 50) -> DataFrame:
+    """(a, b, c_ab, pmi): top-k token pairs by pointwise mutual
+    information within a sliding window of ``window`` following tokens
+    — collocation mining, the co-occurrence statistic a KG pipeline
+    uses to propose candidate predicates between co-mentioned entities
+    (ref analog: the mention-pair scoring feed in
+    indexing/semantic_indexer.py's entity-link stage).
+
+    Pair generation is pure JVM array math — for each position i the
+    token pairs with the next ``window`` tokens via
+    transform+slice+least/greatest (canonical order, self-pairs
+    dropped), NO positional self-join — so the pair stream is a single
+    narrow O(tokens × window) projection. The only shuffles are the
+    (a, b) pair count and the unigram count derived from the SAME pair
+    stream; both are partial-aggregated map-side, so stopword-pair key
+    skew ships one partial row per task, not the raw stream. Totals are
+    a 1-row aggregate joined by broadcast; top-k is
+    TakeOrderedAndProject (no global sort).
+
+    Estimator: p(a,b) = c_ab/P over P window pairs, p(a) = c_a/(2P)
+    over pair endpoints, so pmi = ln(4·P·c_ab / (c_a·c_b)). Every
+    factor is cast to double BEFORE multiplying (the dsir discipline:
+    4·P·c_ab overflows int64 once the crawl passes ~10^9 pair slots,
+    while the IEEE product is deterministic cross-engine) and the log
+    is rounded ONCE to integer micro-nats; ordering ties break on
+    (a, b) so the top-k is total and engine-stable.
+    """
+    pair_expr = F.expr(f"""
+        filter(
+            flatten(transform(_tk, (x, i) ->
+                transform(slice(_tk, i + 2, {int(window)}), y ->
+                    struct(least(x, y) AS a, greatest(x, y) AS b)))),
+            p -> p.a <> p.b)
+    """)
+    pairs = (
+        docs.select(tokens_expr(text_col).alias("_tk"))
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b")
+    )
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        pairs.select(F.explode(F.array("a", "b")).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pairs.select(F.count(F.lit(1)).alias("p_total"))
+    scored = (
+        pc.filter(F.col("c_ab") >= min_count)
+        .join(uni.withColumnRenamed("tok", "a")
+                 .withColumnRenamed("c", "c_a"), "a")
+        .join(uni.withColumnRenamed("tok", "b")
+                 .withColumnRenamed("c", "c_b"), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a", "b", "c_ab",
+            (F.floor(
+                F.log((F.lit(4.0) * F.col("p_total").cast("double")
+                       * F.col("c_ab").cast("double"))
+                      / (F.col("c_a").cast("double")
+                         * F.col("c_b").cast("double")))
+                * 1e6 + 0.5) / 1e6).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "a", "b").limit(k)

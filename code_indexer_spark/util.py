@@ -52,3 +52,31 @@ def free_local_checkpoint(df: DataFrame) -> None:
         plan.rdd().unpersist(False)
     except Exception:
         pass
+
+
+def cached_plan(df: DataFrame,
+                 registry: dict[tuple, DataFrame]) -> DataFrame:
+    from pyspark import StorageLevel
+
+    # semanticHash is only a 32-bit prefilter — Spark itself always
+    # pairs it with sameResult() — so a hit must CONFIRM the stored
+    # plan really is this plan before serving it (ADVICE r4: a
+    # colliding hash must never serve the wrong persisted table).
+    # Distinct same-hash plans get salted key slots; after 16
+    # colliding plans (astronomically unlikely) we skip caching rather
+    # than evict someone else's live entry.
+    analyzed = df._jdf.queryExecution().analyzed()
+    base = (df.sparkSession.sparkContext.applicationId,
+            analyzed.semanticHash())
+    for slot in range(16):
+        key = base + (slot,)
+        hit = registry.get(key)
+        if hit is not None and not (
+                hit._jdf.queryExecution().analyzed().sameResult(analyzed)):
+            continue
+        # lazy + MEMORY_AND_DISK: at the 100 TB shape this spills
+        # instead of evicting-and-recomputing
+        return cached_persist(
+            registry, key, lambda: df, eager=False,
+            storage_level=StorageLevel.MEMORY_AND_DISK)
+    return df

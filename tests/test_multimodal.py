@@ -362,6 +362,17 @@ def test_png_header_matches_encoder():
     with pytest.raises(ValueError):
         parse_png_header(png[:16])  # truncated IHDR
 
+    # spec-invalid width 0x80000000: must raise here (-> decode_error
+    # row) rather than surface an int64 that kills image_dims_stage's
+    # whole-batch Int32 conversion downstream
+    import struct
+    import zlib
+    body = struct.pack(">IIBBBBB", 0x80000000, 7, 8, 0, 0, 0, 0)
+    evil = (png[:8] + struct.pack(">I", 13) + b"IHDR" + body
+            + struct.pack(">I", zlib.crc32(b"IHDR" + body)))
+    with pytest.raises(ValueError, match="2\\^31-1"):
+        parse_png_header(evil)
+
 
 def test_image_dims_stage_pinned(spark):
     """VERDICT r4 item 6 'done' bar: a fixture JPEG validates with

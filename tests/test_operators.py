@@ -862,6 +862,37 @@ def test_simhash_pairs_exact_vs_bruteforce(spark):
         simhash_pairs(docs, bits=128, bands=4)       # > 2 hex digests
 
 
+def test_cooccur_pmi_first_principles(spark):
+    """Hand-computed PMI on 'a b a c', window=2: pairs (a,b)x2,
+    (b,c)x1, (a,c)x1 -> P=4, endpoint counts a=3 b=3 c=2, so
+    pmi(a,b)=ln(4*4*2/(3*3)) and pmi(b,c)=pmi(a,c)=ln(4*4*1/(3*2)),
+    each rounded once to micro-nats. Self-pairs (a at i=1 with a at
+    i=3) must be dropped, and ordering is (pmi desc, a, b)."""
+    import math
+
+    from code_indexer_spark.operators.textstats import cooccur_pmi
+
+    docs = spark.createDataFrame([(1, "a b a c")], ["doc_id", "text"])
+    rows = cooccur_pmi(docs, window=2, min_count=1, k=10).collect()
+    got = [(r.a, r.b, r.c_ab, r.pmi) for r in rows]
+
+    def mn(x):
+        return math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+
+    assert got == [
+        ("a", "b", 2, mn(4 * 4 * 2 / (3 * 3))),
+        ("a", "c", 1, mn(4 * 4 * 1 / (3 * 2))),
+        ("b", "c", 1, mn(4 * 4 * 1 / (3 * 2))),
+    ]
+
+    # min_count prunes the singleton pairs; k caps after the sort
+    assert [(r.a, r.b) for r in
+            cooccur_pmi(docs, window=2, min_count=2, k=10).collect()] \
+        == [("a", "b")]
+    assert len(cooccur_pmi(docs, window=2, min_count=1,
+                           k=2).collect()) == 2
+
+
 def test_dsir_logweights_orders_by_target_similarity(spark):
     """Target-like raw docs must score above off-target ones, and the
     micro-nat arithmetic must be reproducible from first principles
@@ -876,11 +907,15 @@ def test_dsir_logweights_orders_by_target_similarity(spark):
     raw = spark.createDataFrame(
         [(1, "apple banana cherry date"),        # on-distribution
          (2, "zebra xylophone quartz vortex"),   # off-distribution
-         (3, "apple banana zebra xylophone")],   # mixed
+         (3, "apple banana zebra xylophone"),    # mixed
+         (4, "apple")],                          # short: no bigrams
         ["doc_id", "text"])
     got = {r.doc_id: r for r in dsir_logweights(raw, target).collect()}
-    assert set(got) == {1, 2, 3}
-    assert all(got[i].n_bigrams == 3 for i in got)
+    # doc 4 has no bigrams but must NOT vanish: a resampler joining
+    # these weights back would otherwise silently drop every short doc
+    assert set(got) == {1, 2, 3, 4}
+    assert all(got[i].n_bigrams == 3 for i in (1, 2, 3))
+    assert got[4].n_bigrams == 0 and got[4].logw == 0.0
     assert got[1].logw > got[3].logw > got[2].logw
 
     # first-principles check for doc 1: its 3 bigrams each appear 5x

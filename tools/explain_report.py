@@ -41,6 +41,7 @@ REPORT_QUERIES = [
     "url_dupes",            # narrow regex math + one groupBy
     "simhash_pairs",        # banded Hamming bucket join + exact rescore
     "dsir_weights",         # bucket-count joins, 1-row total broadcasts
+    "cooccur_pmi",          # JVM array pair-gen, partial-agg counts
     "domain_cap",           # salted two-phase per-domain top-k
 ]
 
