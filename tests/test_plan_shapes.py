@@ -77,6 +77,10 @@ BROADCAST_GATED = {
     "jaccard_pairs": None,  # exact path: zero forced broadcasts
     "jaccard_pairs_guarded":
         r"Join LeftAnti, .*Hint=\(strategy=broadcast\)",
+    # cooccur_pmi: the only forced broadcast is the 1-row pair total
+    # (tfidf's n_docs pattern); the pair-count and unigram relations
+    # are unbounded and must stay plain joins for AQE to size
+    "cooccur_pmi": r"Join Cross, \w+Hint=\(strategy=broadcast\)",
 }
 
 
