@@ -615,10 +615,10 @@ def cooccur_pmi(docs: DataFrame, text_col: str = "text",
                 k: int = 50) -> DataFrame:
     """(a, b, c_ab, pmi): top-k token pairs by pointwise mutual
     information within a sliding window of ``window`` following tokens
-    — collocation mining, the co-occurrence statistic a KG pipeline
-    uses to propose candidate predicates between co-mentioned entities
-    (ref analog: the mention-pair scoring feed in
-    indexing/semantic_indexer.py's entity-link stage).
+    — collocation mining (Church & Hanks 1990), the co-occurrence
+    statistic a KG pipeline uses to propose candidate predicates
+    between co-mentioned entities; beyond-reference LLM-pipeline
+    surface, same family as dsir_logweights/domain_cap.
 
     Pair generation is pure JVM array math — for each position i the
     token pairs with the next ``window`` tokens via
