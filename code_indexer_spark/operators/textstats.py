@@ -639,6 +639,10 @@ def cooccur_pmi(docs: DataFrame, text_col: str = "text",
     is rounded ONCE to integer micro-nats; ordering ties break on
     (a, b) so the top-k is total and engine-stable.
     """
+    if window < 1:
+        raise ValueError("window must be >= 1 (tokens ahead to pair)")
+    if min_count < 1 or k < 1:
+        raise ValueError("min_count and k must be >= 1")
     pair_expr = F.expr(f"""
         filter(
             flatten(transform(_tk, (x, i) ->

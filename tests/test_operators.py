@@ -892,6 +892,11 @@ def test_cooccur_pmi_first_principles(spark):
     assert len(cooccur_pmi(docs, window=2, min_count=1,
                            k=2).collect()) == 2
 
+    with pytest.raises(ValueError):
+        cooccur_pmi(docs, window=0)   # slice len 0 would emit nothing
+    with pytest.raises(ValueError):
+        cooccur_pmi(docs, min_count=0)
+
 
 def test_dsir_logweights_orders_by_target_similarity(spark):
     """Target-like raw docs must score above off-target ones, and the
